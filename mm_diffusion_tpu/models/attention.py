@@ -1,0 +1,204 @@
+"""Attention blocks: factorized video self-attention and RS-MMA cross-modal
+attention.
+
+TPU-native re-design of `mm_diffusion/multimodal_unet.py:212-678`.  The
+reference implements the random-shift multi-modal attention (RS-MMA) with a
+Python loop over frames doing `index_select` gathers per frame
+(multimodal_unet.py:530-559) — a trace-hostile pattern.  Here the same math is
+one static gather plus two batched einsums:
+
+* tokens are grouped by frame: video ``[B, F, H*W, h, d]``, audio
+  ``[B, F, L/F, h, d]``;
+* the (traced) random window shift enters only through a modular index
+  computation ``(f + shift + j) % F`` — shapes stay static, XLA lowers the
+  whole block to MXU matmuls;
+* video queries attend to a ``local_window``-frame slice of audio keys and
+  vice versa, exactly matching the reference's ``attention_index`` semantics
+  (multimodal_unet.py:614-647) when ``L % F == 0`` (true at every U-Net level
+  for the stock configs, since audio downsamples by 4 per level).
+
+All softmaxes run in float32 (the reference's fp16 self-attention also casts
+to fp32 at multimodal_unet.py:238; we extend this to cross-attention for bf16
+safety).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import GroupNormFP32
+
+Dtype = jnp.dtype
+
+
+def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """[..., T, H*D] -> [..., T, H, D] with the reference's (head, dim) channel
+    order (SingleModalQKVAttention views (bs, heads*ch, T), ref :233-239)."""
+    *lead, t, hd = x.shape
+    return x.reshape(*lead, t, num_heads, hd // num_heads)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    *lead, t, h, d = x.shape
+    return x.reshape(*lead, t, h * d)
+
+
+def qkv_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Batched multi-head attention over ``[..., T, H, D]`` tensors.
+
+    Uses the reference's symmetric ``1/sqrt(sqrt(D))`` scaling of both q and k
+    (multimodal_unet.py:232-237) and a float32 softmax.
+    """
+    d = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.float32(d)))
+    logits = jnp.einsum(
+        "...qhd,...khd->...hqk",
+        (q * scale.astype(q.dtype)),
+        (k * scale.astype(k.dtype)),
+        preferred_element_type=jnp.float32,
+    )
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+    return jnp.einsum("...hqk,...khd->...qhd", weights, v)
+
+
+class TokenSelfAttention(nn.Module):
+    """Residual self-attention over ``[..., T, C]`` token sequences
+    (parity: SingleModalAtten + SingleModalQKVAttention, ref :212-287)."""
+
+    channels: int
+    num_heads: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        h = GroupNormFP32(name="norm")(x)
+        qkv = nn.Dense(
+            3 * self.channels, dtype=self.dtype, param_dtype=jnp.float32, name="qkv"
+        )(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        out = qkv_attention(
+            _split_heads(q, self.num_heads),
+            _split_heads(k, self.num_heads),
+            _split_heads(v, self.num_heads),
+        )
+        out = nn.Dense(
+            self.channels,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="proj_out",
+        )(_merge_heads(out))
+        return x + out
+
+
+class FactorizedVideoAttention(nn.Module):
+    """Spatial attention (tokens = H*W per frame) followed by temporal
+    attention (tokens = F per pixel) on ``[B, F, H, W, C]``
+    (parity: ResBlock video attention path, ref :485-491)."""
+
+    channels: int
+    num_heads: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        b, f, h, w, c = x.shape
+        xs = x.reshape(b * f, h * w, c)
+        xs = TokenSelfAttention(
+            self.channels, self.num_heads, dtype=self.dtype, name="spatial"
+        )(xs)
+        xt = xs.reshape(b, f, h, w, c).transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, c)
+        xt = TokenSelfAttention(
+            self.channels, self.num_heads, dtype=self.dtype, name="temporal"
+        )(xt)
+        return xt.reshape(b, h, w, f, c).transpose(0, 3, 1, 2, 4)
+
+
+def window_frame_indices(num_frames: int, local_window: int, shift) -> jnp.ndarray:
+    """``idx[f, j] = (f + shift + j) % F`` — the frame each query-frame attends
+    to, for j in [0, local_window).  Static shapes; ``shift`` may be traced.
+
+    Matches the reference's flat-index windows with wraparound
+    (multimodal_unet.py:624-638) given L % F == 0.
+    """
+    f_idx = jnp.arange(num_frames)[:, None]
+    j_idx = jnp.arange(local_window)[None, :]
+    return (f_idx + shift + j_idx) % num_frames
+
+
+class RSMMACrossAttention(nn.Module):
+    """Random-Shift Multi-Modal Attention (parity: CrossAttentionBlock +
+    QKVAttention, multimodal_unet.py:498-678).
+
+    Per frame f, the H*W video query tokens attend to audio tokens of frames
+    ``(f+shift) .. (f+shift+local_window-1) (mod F)``; each frame's L/F audio
+    query tokens attend to the video tokens of the same frame window.  The
+    shift is drawn uniformly from [0, F - local_window] per forward pass when
+    ``window_shift`` is on (ref :619-622) — at train AND sampling time, via
+    the 'shift' PRNG collection when provided.
+    """
+
+    channels: int
+    num_heads: int
+    local_window: int
+    window_shift: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, video, audio):
+        b, f, h, w, c = video.shape
+        _, l, _ = audio.shape
+        assert l % f == 0, f"audio length {l} must divide into {f} frames"
+        apf = l // f
+        lw = min(self.local_window, f)
+
+        if self.window_shift and self.has_rng("shift"):
+            shift = jax.random.randint(self.make_rng("shift"), (), 0, f - lw + 1)
+        else:
+            shift = 0
+
+        v_tokens = video.reshape(b, f * h * w, c)
+        v_qkv = nn.Dense(
+            3 * self.channels, dtype=self.dtype, param_dtype=jnp.float32, name="v_qkv"
+        )(GroupNormFP32(name="v_norm")(v_tokens))
+        a_qkv = nn.Dense(
+            3 * self.channels, dtype=self.dtype, param_dtype=jnp.float32, name="a_qkv"
+        )(GroupNormFP32(name="a_norm")(audio))
+
+        nh = self.num_heads
+        vq, vk, vv = [
+            _split_heads(t, nh).reshape(b, f, h * w, nh, c // nh)
+            for t in jnp.split(v_qkv, 3, axis=-1)
+        ]
+        aq, ak, av = [
+            _split_heads(t, nh).reshape(b, f, apf, nh, c // nh)
+            for t in jnp.split(a_qkv, 3, axis=-1)
+        ]
+
+        win = window_frame_indices(f, lw, shift)  # [F, lw]
+
+        def gather_window(t):  # [B, F, T, h, d] -> [B, F, lw*T, h, d]
+            g = jnp.take(t, win, axis=1)  # [B, F, lw, T, h, d]
+            return g.reshape(b, f, -1, *t.shape[-2:])
+
+        # video queries x audio keys/values
+        v_out = qkv_attention(vq, gather_window(ak), gather_window(av))
+        # audio queries x video keys/values
+        a_out = qkv_attention(aq, gather_window(vk), gather_window(vv))
+
+        zero_dense = dict(
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+        )
+        v_out = nn.Dense(self.channels, name="video_proj_out", **zero_dense)(
+            v_out.reshape(b, f, h, w, c)
+        )
+        a_out = nn.Dense(self.channels, name="audio_proj_out", **zero_dense)(
+            a_out.reshape(b, l, c)
+        )
+        return video + v_out, audio + a_out
