@@ -1,0 +1,97 @@
+"""Device mesh construction and sharding rules.
+
+TPU-native replacement for the reference's entire distributed runtime
+(`mm_diffusion/dist_util.py`: MPI rendezvous + NCCL process groups + manual
+param broadcast).  In JAX SPMD the same capabilities are:
+
+* process bootstrap      -> ``jax.distributed.initialize`` (multi-host)
+* rank -> GPU pinning    -> device mesh axes over ICI
+* param broadcast        -> replicated `NamedSharding`
+* DDP grad all-reduce    -> compiler-inserted `psum` from sharded-batch jit
+* dataset rank-sharding  -> `jax.process_index()` keyed host sharding
+
+Axes:
+  * ``data`` — batch (data parallel; gradients psum over it)
+  * ``fsdp`` — optional parameter sharding (ZeRO-3 style), which the
+    reference lacks entirely (SURVEY §2.5: full replica per rank).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+FSDP_AXIS = "fsdp"
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_fsdp: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Create a 2-D ``(data, fsdp)`` mesh.  ``n_data=None`` uses all devices
+    divided by ``n_fsdp``.  On a single chip this degenerates to (1, 1)."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        assert len(devices) % n_fsdp == 0
+        n_data = len(devices) // n_fsdp
+    assert n_data * n_fsdp <= len(devices)
+    dev_array = np.asarray(devices[: n_data * n_fsdp]).reshape(n_data, n_fsdp)
+    return Mesh(dev_array, (DATA_AXIS, FSDP_AXIS))
+
+
+def batch_spec() -> P:
+    """Batch leaves shard their leading axis over (data, fsdp) jointly —
+    with fsdp>1 each param shard group still sees distinct data."""
+    return P((DATA_AXIS, FSDP_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, batch_spec())
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def param_spec(path_leaf, fsdp_size: int, min_size_to_shard: int = 2**18) -> P:
+    """FSDP rule: shard the largest divisible axis of big parameters over the
+    fsdp axis; replicate the rest."""
+    leaf = path_leaf
+    if fsdp_size <= 1 or leaf.size < min_size_to_shard:
+        return P()
+    # choose the largest axis divisible by fsdp_size
+    best_axis, best_dim = None, 0
+    for i, d in enumerate(leaf.shape):
+        if d % fsdp_size == 0 and d > best_dim:
+            best_axis, best_dim = i, d
+    if best_axis is None:
+        return P()
+    spec = [None] * leaf.ndim
+    spec[best_axis] = FSDP_AXIS
+    return P(*spec)
+
+
+def params_shardings(params, mesh: Mesh, min_size_to_shard: int = 2**18):
+    """Pytree of NamedShardings for a parameter pytree."""
+    fsdp_size = mesh.shape[FSDP_AXIS]
+    return jax.tree.map(
+        lambda l: NamedSharding(mesh, param_spec(l, fsdp_size, min_size_to_shard)), params
+    )
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host-global batch onto the mesh with batch-axis sharding."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda l: jax.device_put(l, sh), batch)
+
+
+def process_data_shard() -> tuple[int, int]:
+    """(shard_index, num_shards) for host-side dataset sharding — the SPMD
+    equivalent of the reference's ``[rank::num_ranks]`` slicing
+    (multimodal_datasets.py:147)."""
+    return jax.process_index(), jax.process_count()

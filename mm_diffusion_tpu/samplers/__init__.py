@@ -1,0 +1,18 @@
+from .ancestral import (
+    conditional_p_sample_loop,
+    ddim_reverse_loop,
+    ddim_sample_loop,
+    p_sample_loop,
+)
+from .dpm import DPMSolver, NoiseScheduleVP, model_input_time, wrap_model
+
+__all__ = [
+    "conditional_p_sample_loop",
+    "ddim_reverse_loop",
+    "ddim_sample_loop",
+    "p_sample_loop",
+    "DPMSolver",
+    "NoiseScheduleVP",
+    "model_input_time",
+    "wrap_model",
+]

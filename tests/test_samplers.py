@@ -1,0 +1,183 @@
+"""Sampler correctness on an analytically-known model.
+
+For a delta-distribution dataset (all mass at x0_true), the exact noise
+prediction is eps(x_t, t) = (x_t - sqrt(abar_t) x0) / sqrt(1 - abar_t).
+Any consistent sampler must recover ~x0_true from pure noise.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mm_diffusion_tpu.diffusion import GaussianDiffusion, make_schedule, tree_randn_like
+from mm_diffusion_tpu.samplers import (
+    DPMSolver,
+    NoiseScheduleVP,
+    conditional_p_sample_loop,
+    ddim_sample_loop,
+    p_sample_loop,
+    wrap_model,
+)
+
+T = 100
+
+
+@pytest.fixture(scope="module")
+def setup():
+    tables = make_schedule("linear", T)
+    diff = GaussianDiffusion(tables=tables)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    x0 = {
+        "video": jnp.tanh(jax.random.normal(k1, (2, 2, 4, 4, 3))),
+        "audio": jnp.tanh(jax.random.normal(k2, (2, 32, 1))),
+    }
+    abar = tables.alphas_cumprod
+
+    def eps_model(x, t_model, rng=None):
+        # exact noise for delta data at x0 (t_model: int timesteps)
+        def leaf(xt, x0l):
+            a = abar[t_model].reshape((-1,) + (1,) * (xt.ndim - 1))
+            return (xt - jnp.sqrt(a) * x0l) / jnp.sqrt(1 - a)
+
+        return jax.tree.map(leaf, x, x0)
+
+    x_T = tree_randn_like(jax.random.PRNGKey(7), x0)
+    return diff, x0, eps_model, x_T
+
+
+def _close(result, x0, tol):
+    for key in ("video", "audio"):
+        err = float(jnp.max(jnp.abs(result[key] - x0[key])))
+        assert err < tol, f"{key} err {err}"
+
+
+def test_ddim_loop_recovers_x0(setup):
+    diff, x0, eps_model, x_T = setup
+    out = jax.jit(
+        lambda xT, rng: ddim_sample_loop(diff, eps_model, xT, rng, clip_denoised=True)
+    )(x_T, jax.random.PRNGKey(1))
+    _close(out, x0, 0.05)
+
+
+def test_p_sample_loop_recovers_x0(setup):
+    diff, x0, eps_model, x_T = setup
+    out = jax.jit(
+        lambda xT, rng: p_sample_loop(diff, eps_model, xT, rng, clip_denoised=True)
+    )(x_T, jax.random.PRNGKey(2))
+    # ancestral sampling carries the final small-variance noise
+    _close(out, x0, 0.25)
+
+
+def test_respaced_ddim_loop(setup):
+    _, x0, eps_model, x_T = setup
+    tables = make_schedule("linear", T, "ddim25")
+    diff25 = GaussianDiffusion(tables=tables)
+    out = jax.jit(
+        lambda xT, rng: ddim_sample_loop(diff25, eps_model, xT, rng)
+    )(x_T, jax.random.PRNGKey(3))
+    _close(out, x0, 0.06)
+
+
+@pytest.mark.parametrize(
+    "method,order,skip",
+    [
+        ("singlestep", 3, "logSNR"),
+        ("singlestep", 2, "time_uniform"),
+        ("singlestep_fixed", 2, "logSNR"),
+        ("multistep", 2, "time_uniform"),
+        ("multistep", 3, "time_uniform"),
+    ],
+)
+def test_dpm_solver_methods(setup, method, order, skip):
+    """Solver math accuracy with a continuous-time exact-eps model (isolates
+    the ODE solver from the discrete-time truncation of wrap_model)."""
+    diff, x0, eps_model, x_T = setup
+    ns = NoiseScheduleVP.from_alphas_cumprod(np.asarray(diff.tables.alphas_cumprod))
+
+    def cont_eps(x, t_cont):
+        a, s = ns.marginal_alpha(t_cont), ns.marginal_std(t_cont)
+        return jax.tree.map(lambda xt, x0l: (xt - a * x0l) / s, x, x0)
+
+    for predict_x0 in (False, True):
+        solver = DPMSolver(cont_eps, ns, predict_x0=predict_x0)
+        out = jax.jit(
+            lambda xT: solver.sample(xT, steps=15, order=order, skip_type=skip, method=method)
+        )(x_T)
+        _close(out, x0, 0.06)
+
+
+def test_dpm_solver_discrete_wrap(setup):
+    """End-to-end through wrap_model's int-truncated discrete model timesteps
+    (parity with ref :291-295); looser tolerance since truncation at T=100 is
+    1% of the schedule per step."""
+    diff, x0, eps_model, x_T = setup
+    ns = NoiseScheduleVP.from_alphas_cumprod(np.asarray(diff.tables.alphas_cumprod))
+    model_fn = wrap_model(lambda x, t: eps_model(x, t), ns)
+    solver = DPMSolver(model_fn, ns, predict_x0=True)
+    out = jax.jit(
+        lambda xT: solver.sample(xT, steps=15, order=2, skip_type="time_uniform",
+                                 method="multistep")
+    )(x_T)
+    _close(out, x0, 0.25)
+
+
+def test_dpm_solver_adaptive(setup):
+    diff, x0, eps_model, x_T = setup
+    ns = NoiseScheduleVP.from_alphas_cumprod(np.asarray(diff.tables.alphas_cumprod))
+    model_fn = wrap_model(lambda x, t: eps_model(x, t), ns)
+    solver = DPMSolver(model_fn, ns, predict_x0=True)
+    out = jax.jit(lambda xT: solver.sample(xT, method="adaptive", order=2))(x_T)
+    _close(out, x0, 0.1)
+
+
+def test_dpm_thresholding_runs(setup):
+    diff, x0, eps_model, x_T = setup
+    ns = NoiseScheduleVP.from_alphas_cumprod(np.asarray(diff.tables.alphas_cumprod))
+    model_fn = wrap_model(lambda x, t: eps_model(x, t), ns)
+    solver = DPMSolver(model_fn, ns, predict_x0=True, thresholding=True)
+    out = jax.jit(lambda xT: solver.sample(xT, steps=10, order=2, method="multistep"))(x_T)
+    _close(out, x0, 0.15)
+
+
+def test_single_tensor_dpm(setup):
+    """The same solver serves single-tensor states (SR model path)."""
+    diff, x0d, _, _ = setup
+    x0 = x0d["video"]
+    abar = diff.tables.alphas_cumprod
+    ns = NoiseScheduleVP.from_alphas_cumprod(np.asarray(abar))
+
+    def eps(x, t):
+        a = abar[t].reshape((-1,) + (1,) * (x.ndim - 1))
+        return (x - jnp.sqrt(a) * x0) / jnp.sqrt(1 - a)
+
+    solver = DPMSolver(wrap_model(eps, ns), ns, predict_x0=True)
+    x_T = jax.random.normal(jax.random.PRNGKey(5), x0.shape)
+    out = jax.jit(lambda xT: solver.sample(xT, steps=12, order=2, method="multistep"))(x_T)
+    assert float(jnp.max(jnp.abs(out - x0))) < 0.1
+
+
+def test_conditional_replacement_loop(setup):
+    diff, x0, eps_model, x_T = setup
+    out = jax.jit(
+        lambda xT, rng: conditional_p_sample_loop(
+            diff, eps_model, xT, rng, condition=x0["audio"], condition_key="audio",
+            class_scale=0.0,
+        )
+    )(x_T, jax.random.PRNGKey(6))
+    # target modality (video) should still converge given the perfect model
+    assert float(jnp.max(jnp.abs(out["video"] - x0["video"]))) < 0.3
+    assert np.all(np.isfinite(np.asarray(out["audio"])))
+
+
+def test_conditional_gradient_loop_runs(setup):
+    diff, x0, eps_model, x_T = setup
+    out = jax.jit(
+        lambda xT, rng: conditional_p_sample_loop(
+            diff, eps_model, xT, rng, condition=x0["audio"], condition_key="audio",
+            class_scale=3.0,
+        )
+    )(x_T, jax.random.PRNGKey(8))
+    for key in ("video", "audio"):
+        assert np.all(np.isfinite(np.asarray(out[key])))
+    assert float(jnp.max(jnp.abs(out["video"] - x0["video"]))) < 0.5
