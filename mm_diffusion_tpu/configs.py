@@ -209,6 +209,115 @@ def create_model_and_diffusion(**kwargs):
     return MultimodalUNet(cfg), diffusion
 
 
+# -- image / SR model factories (parity: script_util.py) -----------------------
+
+def image_sr_model_and_diffusion_defaults() -> Dict[str, Any]:
+    """(parity: image_sr_model_and_diffusion_defaults, script_util.py:70-106)"""
+    res = dict(
+        sr_num_channels=128,
+        sr_num_res_blocks=2,
+        sr_num_heads=4,
+        sr_num_heads_upsample=-1,
+        sr_num_head_channels=-1,
+        sr_attention_resolutions="16,8",
+        sr_dropout=0.0,
+        sr_class_cond=False,
+        use_checkpoint=False,
+        sr_use_scale_shift_norm=True,
+        sr_resblock_updown=False,
+        use_fp16=False,
+        sr_learn_sigma=True,
+        large_size=256,
+        small_size=128,
+        sr_diffusion_steps=1000,
+        sr_timestep_respacing="",
+        noise_schedule="linear",
+        use_kl=False,
+        predict_xstart=False,
+        rescale_timesteps=False,
+        rescale_learned_sigmas=False,
+    )
+    return res
+
+
+def sr_channel_mult(large_size: int) -> Tuple[int, ...]:
+    """(parity: image_sr_create_model, script_util.py:399-406)"""
+    if large_size in (512, 256):
+        return (1, 1, 2, 2, 4, 4)
+    if large_size == 64:
+        return (1, 2, 3, 4)
+    raise ValueError(f"unsupported large size: {large_size}")
+
+
+def create_image_sr_config(
+    large_size=256,
+    small_size=128,
+    sr_num_channels=128,
+    sr_num_res_blocks=2,
+    sr_learn_sigma=True,
+    sr_class_cond=False,
+    use_checkpoint=False,
+    sr_attention_resolutions="16,8",
+    sr_num_heads=4,
+    sr_num_head_channels=-1,
+    sr_num_heads_upsample=-1,
+    sr_use_scale_shift_norm=True,
+    sr_dropout=0.0,
+    sr_resblock_updown=False,
+    use_fp16=False,
+    dtype: Optional[str] = None,
+    **_unused,
+):
+    """Build an :class:`ImageUNetConfig` for the SR model
+    (parity: image_sr_create_model, script_util.py:381-430).  ``in_channels``
+    is doubled for the low_res concat (image_unet.py:700-709)."""
+    from .models.image_unet import ImageUNetConfig
+
+    attention_ds = tuple(
+        int(r) for r in str(sr_attention_resolutions).split(",") if r != ""
+    )
+    if dtype is None:
+        dtype = "bfloat16" if use_fp16 else "float32"
+    return ImageUNetConfig(
+        image_size=large_size,
+        in_channels=6,  # 3 + 3 low_res concat
+        model_channels=sr_num_channels,
+        out_channels=(6 if sr_learn_sigma else 3),
+        num_res_blocks=sr_num_res_blocks,
+        attention_resolutions=attention_ds,
+        dropout=sr_dropout,
+        channel_mult=sr_channel_mult(large_size),
+        num_classes=(1000 if sr_class_cond else None),
+        num_heads=sr_num_heads,
+        num_head_channels=sr_num_head_channels,
+        num_heads_upsample=sr_num_heads_upsample,
+        use_scale_shift_norm=bool(sr_use_scale_shift_norm),
+        resblock_updown=bool(sr_resblock_updown),
+        use_checkpoint=bool(use_checkpoint),
+        dtype=dtype,
+    )
+
+
+def image_sr_create_model_and_diffusion(**kwargs):
+    """(parity: image_sr_create_model_and_diffusion, script_util.py:326-379)"""
+    from .models.image_unet import ImageSuperResModel
+
+    defaults = image_sr_model_and_diffusion_defaults()
+    merged = {**defaults, **kwargs}
+    cfg = create_image_sr_config(**merged)
+    diffusion = create_gaussian_diffusion(
+        steps=merged["sr_diffusion_steps"],
+        learn_sigma=merged["sr_learn_sigma"],
+        noise_schedule=merged["noise_schedule"],
+        use_kl=merged["use_kl"],
+        predict_xstart=merged["predict_xstart"],
+        rescale_timesteps=merged["rescale_timesteps"],
+        rescale_learned_sigmas=merged["rescale_learned_sigmas"],
+        timestep_respacing=merged["sr_timestep_respacing"],
+    )
+    return ImageSuperResModel(cfg), diffusion
+
+
 # -- argparse helpers (parity: multimodal_script_util.py:245-270) -------------
 
 def str2bool(v) -> bool:

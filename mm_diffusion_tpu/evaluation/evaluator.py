@@ -1,0 +1,128 @@
+"""End-to-end multimodal evaluation: FVD / KVD / FAD over sample directories.
+
+Re-design of `mm_diffusion/evaluator.py:39-174`: stream real and fake AV
+pairs from directories, embed video with I3D (jit-batched on device) and
+audio with the configured audio embedder, then compute Fréchet/MMD metrics.
+The reference's per-batch ``dist.all_gather`` of embeddings disappears — a
+single process drives the mesh and embeddings accumulate host-side.
+
+Protocol constants match the reference: 224^2 16-frame clips for I3D
+(evaluator.py:16-18), FAD scaled x1e4 (:170), eval_num samples per side (:60).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Iterator, Optional
+
+import numpy as np
+
+from ..data.video import load_data
+from ..utils import logger
+from .audio_embed import LogMelEmbedder
+from .metrics import frechet_distance, polynomial_mmd, preprocess_videos_for_i3d
+
+VIDEO_SIZE = [16, 3, 224, 224]
+AUDIO_RATE = 44100
+AUDIO_SIZE = [1, int(AUDIO_RATE * 1.6)]
+BATCH_SIZE = 8
+
+
+def _dir_loader(path: str, batch_size: int = BATCH_SIZE) -> Iterator[Dict[str, np.ndarray]]:
+    """Stream AV pairs from a directory at the eval protocol resolution
+    (parity: load_multimodal_for_worker, evaluator.py:39-57)."""
+    return load_data(
+        data_dir=path,
+        batch_size=batch_size,
+        video_size=tuple(VIDEO_SIZE),
+        audio_size=tuple(AUDIO_SIZE),
+        audio_fps=AUDIO_RATE,
+        random_flip=False,
+        num_workers=0,
+        shard=0,
+        num_shards=1,
+    )
+
+
+def make_i3d_embedder(i3d_checkpoint: Optional[str] = None) -> Optional[Callable]:
+    """Jitted I3D video embedder; None when no pretrained weights exist."""
+    if not i3d_checkpoint or not os.path.exists(i3d_checkpoint):
+        return None
+    import jax
+    import jax.numpy as jnp
+
+    from .i3d import load_i3d
+
+    model, variables = load_i3d(i3d_checkpoint)
+    apply = jax.jit(lambda v: model.apply(variables, v))
+
+    def embed(videos_uint8: np.ndarray) -> np.ndarray:
+        pre = preprocess_videos_for_i3d(videos_uint8)  # [B,T,224,224,3]
+        return np.asarray(jax.device_get(apply(jnp.asarray(pre))))
+
+    return embed
+
+
+def eval_multimodal(
+    real_path: str,
+    fake_path: str,
+    video_size=(16, 3, 64, 64),
+    eval_num: int = 2048,
+    i3d_checkpoint: Optional[str] = None,
+    audio_embedder: Optional[Callable] = None,
+    batch_size: int = BATCH_SIZE,
+) -> Dict[str, float]:
+    """(parity surface: eval_multimodal, evaluator.py:60-174)
+
+    Returns ``{"fvd", "kvd", "fad"}``.  Without an I3D checkpoint the video
+    metrics fall back to raw-pixel-statistics embeddings (self-consistent
+    only — clearly not the published protocol; supply the checkpoint for
+    parity numbers).
+    """
+    log = logger.get_current()
+    video_embed = make_i3d_embedder(i3d_checkpoint)
+    pixel_fallback = video_embed is None
+    if pixel_fallback:
+        log.log(
+            "eval: no I3D checkpoint — using pixel-statistics video embeddings "
+            "(relative comparisons only)"
+        )
+
+        def video_embed(videos_uint8):
+            v = videos_uint8.astype(np.float32) / 255.0
+            b = v.shape[0]
+            flat = v.reshape(b, v.shape[1], -1)
+            return np.concatenate(
+                [flat.mean(-1), flat.std(-1), np.abs(np.diff(flat, axis=1)).mean(-1).mean(-1, keepdims=True)],
+                axis=-1,
+            )
+
+    if audio_embedder is None:
+        audio_embedder = LogMelEmbedder(sample_rate=AUDIO_RATE)
+
+    def collect(path):
+        vid_emb, aud_emb = [], []
+        n = 0
+        for batch in _dir_loader(path, batch_size):
+            videos = ((batch["video"] + 1) * 127.5).clip(0, 255).astype(np.uint8)
+            vid_emb.append(video_embed(videos))
+            aud_emb.append(audio_embedder(batch["audio"]))
+            n += videos.shape[0]
+            if n >= eval_num:
+                break
+        return (
+            np.concatenate(vid_emb)[:eval_num],
+            np.concatenate(aud_emb)[:eval_num],
+        )
+
+    log.log(f"embedding fake set: {fake_path}")
+    fake_v, fake_a = collect(fake_path)
+    log.log(f"embedding real set: {real_path}")
+    real_v, real_a = collect(real_path)
+    log.log(f"evaluate for {len(real_v)} samples")
+
+    return {
+        "fvd": frechet_distance(fake_v, real_v),
+        "kvd": polynomial_mmd(fake_v, real_v),
+        "fad": frechet_distance(fake_a, real_a) * 10000.0,
+    }

@@ -54,8 +54,14 @@ class GroupNormFP32(nn.Module):
     @nn.compact
     def __call__(self, x):
         orig_dtype = x.dtype
+        # production channel counts are multiples of 32 (reference contract);
+        # smaller test configs fall back to the largest divisor <= num_groups.
+        ch = x.shape[-1]
+        groups = self.num_groups
+        while ch % groups != 0:
+            groups //= 2
         y = nn.GroupNorm(
-            num_groups=self.num_groups,
+            num_groups=groups,
             epsilon=1e-5,
             dtype=jnp.float32,
             param_dtype=jnp.float32,

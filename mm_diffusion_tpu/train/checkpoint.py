@@ -1,0 +1,72 @@
+"""Orbax checkpointing of the full train state.
+
+Replaces the reference's triple-file torch.save protocol
+(`multimodal_train_util.py:470-539`: model{step}.pt + ema_{rate}_{step}.pt +
+opt{step}.pt, step parsed from filenames, glob-based resume discovery) with a
+single Orbax step directory holding the whole TrainState pytree
+{params, opt_state, ema(s), sampler, step}.  Resume contract is identical:
+point at a run directory and the latest step is found automatically.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from .state import TrainState
+
+
+def _manager(ckpt_dir: str, max_to_keep: Optional[int] = None) -> ocp.CheckpointManager:
+    options = ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True)
+    return ocp.CheckpointManager(os.path.abspath(ckpt_dir), options=options)
+
+
+def save_checkpoint(ckpt_dir: str, state: TrainState, max_to_keep: Optional[int] = None):
+    """Save the full train state under ``ckpt_dir/<step>/``."""
+    step = int(jax.device_get(state.step))
+    mgr = _manager(ckpt_dir, max_to_keep)
+    mgr.save(step, args=ocp.args.StandardSave(state))
+    mgr.wait_until_finished()
+    mgr.close()
+    return step
+
+
+def latest_checkpoint_step(ckpt_dir: str) -> Optional[int]:
+    """Find the newest saved step (parity: find_resume_checkpoint,
+    multimodal_train_util.py:517-530)."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    mgr = _manager(ckpt_dir)
+    step = mgr.latest_step()
+    mgr.close()
+    return step
+
+
+def restore_checkpoint(
+    ckpt_dir: str, abstract_state: TrainState, step: Optional[int] = None
+) -> TrainState:
+    """Restore into the sharding/structure of ``abstract_state``."""
+    mgr = _manager(ckpt_dir)
+    if step is None:
+        step = mgr.latest_step()
+    assert step is not None, f"no checkpoint found in {ckpt_dir}"
+    restored = mgr.restore(step, args=ocp.args.StandardRestore(abstract_state))
+    mgr.close()
+    return restored
+
+
+def save_params(path: str, params: Any):
+    """Standalone parameter snapshot (e.g. EMA export for sampling)."""
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params)
+    ckptr.wait_until_finished()
+
+
+def restore_params(path: str, abstract_params: Any = None):
+    ckptr = ocp.StandardCheckpointer()
+    if abstract_params is None:
+        return ckptr.restore(os.path.abspath(path))
+    return ckptr.restore(os.path.abspath(path), abstract_params)

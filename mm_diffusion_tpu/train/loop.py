@@ -1,0 +1,256 @@
+"""The training loop orchestrator.
+
+Re-design of the reference `multimodal_train_util.TrainLoop` (and the
+single-modal `train_util.TrainLoop`): same responsibilities — resume, EMA,
+periodic checkpoint + preview sampling, KV logging with loss quartiles — on
+an SPMD execution model:
+
+* one process drives the whole mesh (`jax.jit` + shardings) instead of one
+  process per GPU under mpiexec;
+* the train step (gradients, optimizer, EMA, schedule-sampler update) is a
+  single donated jit — see `train/state.py`;
+* checkpoints are Orbax step directories — see `train/checkpoint.py`.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Iterator, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..diffusion.gaussian import GaussianDiffusion, tree_randn_like
+from ..parallel import make_mesh, replicated, shard_batch
+from ..samplers import DPMSolver, NoiseScheduleVP, ddim_sample_loop, p_sample_loop, wrap_model
+from ..utils import logger as kvlogger
+from . import checkpoint as ckpt_lib
+from .resample import create_named_schedule_sampler
+from .state import TrainState, create_train_state, make_optimizer, make_train_step
+
+
+def parse_ema_rates(ema_rate) -> Sequence[float]:
+    """(parity: multimodal_train_util.py:64-68 comma-string EMA rates)"""
+    if isinstance(ema_rate, (int, float)):
+        return (float(ema_rate),)
+    return tuple(float(x) for x in str(ema_rate).split(","))
+
+
+class TrainLoop:
+    """Multimodal training loop (parity surface: multimodal_train_util.py:25-549).
+
+    ``data`` yields numpy batches ``{"video": [B,F,H,W,C], "audio": [B,L,C]}``
+    in [-1,1] — the global batch across the mesh.
+    """
+
+    def __init__(
+        self,
+        *,
+        model,
+        diffusion: GaussianDiffusion,
+        data: Iterator[Dict[str, np.ndarray]],
+        batch_size: int,
+        lr: float = 1e-4,
+        ema_rate="0.9999",
+        log_interval: int = 100,
+        save_interval: int = 10000,
+        output_dir: str = "./output",
+        resume_checkpoint: Optional[str] = None,
+        weight_decay: float = 0.0,
+        lr_anneal_steps: int = 0,
+        schedule_sampler: str = "uniform",
+        accum_steps: int = 1,
+        mesh=None,
+        seed: int = 0,
+        sample_fn: str = "dpm_solver",
+        save_preview: bool = True,
+        preview_samples: int = 4,
+        init_params=None,
+    ):
+        self.model = model
+        self.diffusion = diffusion
+        self.data = data
+        self.batch_size = batch_size
+        self.log_interval = log_interval
+        self.save_interval = save_interval
+        self.output_dir = output_dir
+        self.sample_fn_name = sample_fn
+        self.save_preview = save_preview
+        self.preview_samples = preview_samples
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.rng = jax.random.PRNGKey(seed)
+
+        cfg = model.cfg
+        f, c, h, w = cfg.video_size
+        ca, l = cfg.audio_size
+        self.video_shape = (f, h, w, c)
+        self.audio_shape = (l, ca)
+
+        if init_params is None:
+            self.rng, k_init, k_shift = jax.random.split(self.rng, 3)
+            dummy_v = jnp.zeros((1, f, h, w, c), jnp.float32)
+            dummy_a = jnp.zeros((1, l, ca), jnp.float32)
+            variables = model.init(
+                {"params": k_init, "shift": k_shift},
+                dummy_v,
+                dummy_a,
+                jnp.zeros((1,), jnp.int32),
+            )
+            init_params = variables["params"]
+
+        self.tx = make_optimizer(lr, weight_decay, lr_anneal_steps)
+        sampler = create_named_schedule_sampler(schedule_sampler, diffusion.num_timesteps)
+        state = create_train_state(
+            init_params, self.tx, parse_ema_rates(ema_rate), sampler=sampler
+        )
+
+        # resume (parity: _load_and_sync_parameters + find_resume_checkpoint)
+        ckpt_dir = resume_checkpoint or f"{output_dir}/checkpoints"
+        self.ckpt_dir = f"{output_dir}/checkpoints"
+        latest = ckpt_lib.latest_checkpoint_step(ckpt_dir)
+        if latest is not None:
+            kvlogger.log(f"resuming from {ckpt_dir} step {latest}")
+            state = ckpt_lib.restore_checkpoint(ckpt_dir, state, latest)
+
+        # place replicated state on the mesh (the reference's param broadcast,
+        # dist_util.py:72-78, is just a replicated sharding here)
+        self.state = jax.device_put(state, replicated(self.mesh))
+
+        step_fn = make_train_step(model, diffusion, self.tx, accum_steps=accum_steps)
+        self._train_step = jax.jit(step_fn, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    def run_step(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
+        batch = shard_batch(batch, self.mesh)
+        self.rng, step_rng = jax.random.split(self.rng)
+        self.state, metrics = self._train_step(self.state, batch, step_rng)
+        return metrics
+
+    def run_loop(self, max_steps: Optional[int] = None):
+        """(parity: run_loop, multimodal_train_util.py:222-265)"""
+        log = kvlogger.get_current()
+        t_last = time.time()
+        while True:
+            step = int(jax.device_get(self.state.step))
+            if max_steps is not None and step >= max_steps:
+                break
+            with log.profile_kv("data"):
+                batch = next(self.data)
+            metrics = self.run_step(batch)
+            step += 1
+            log.logkvs_mean(jax.device_get(metrics))
+            if step % self.log_interval == 0:
+                metrics = jax.device_get(metrics)  # force sync for timing
+                now = time.time()
+                log.logkv("step", step)
+                log.logkv("steps_per_sec", self.log_interval / (now - t_last))
+                t_last = now
+                log.dumpkvs()
+            if step % self.save_interval == 0:
+                self.save()
+                if self.save_preview:
+                    try:
+                        self.sample_preview(step)
+                    except Exception as e:  # preview must never kill training
+                        log.log(f"preview sampling failed: {e}")
+        self.save()
+
+    # ------------------------------------------------------------------
+    def save(self):
+        """(parity: save, multimodal_train_util.py:470-493)"""
+        step = ckpt_lib.save_checkpoint(self.ckpt_dir, jax.device_get(self.state))
+        kvlogger.log(f"saved checkpoint step {step} -> {self.ckpt_dir}")
+
+    # ------------------------------------------------------------------
+    def make_sampling_fn(self, params, sample_fn: Optional[str] = None, steps: int = 20):
+        """Build a jittable batch sampler from given params (typically EMA)
+        (parity: save_video's sampler dispatch, multimodal_train_util.py:373-416)."""
+        sample_fn = sample_fn or self.sample_fn_name
+        cfg = self.model.cfg
+        learn_sigma = cfg.video_out_channels == 6
+        diffusion = self.diffusion
+
+        def raw_model(x, t_model, rng):
+            v, a = self.model.apply(
+                {"params": params}, x["video"], x["audio"], t_model,
+                rngs={"shift": rng},
+            )
+            if learn_sigma:
+                v = v[..., : v.shape[-1] // 2]
+                a = a[..., : a.shape[-1] // 2]
+            return {"video": v, "audio": a}
+
+        if sample_fn in ("dpm_solver", "dpm_solver++"):
+            ns = NoiseScheduleVP.from_alphas_cumprod(
+                np.asarray(diffusion.tables.alphas_cumprod, np.float64)
+            )
+
+            def cont_model(x, t_cont):
+                t_key = (t_cont.reshape(-1)[0] * ns.total_N).astype(jnp.int32)
+                return raw_model(
+                    x,
+                    ((t_cont - 1.0 / ns.total_N) * ns.total_N).astype(jnp.int32),
+                    jax.random.fold_in(jax.random.PRNGKey(0), t_key),
+                )
+
+            solver = DPMSolver(
+                cont_model,
+                ns,
+                predict_x0=(sample_fn == "dpm_solver++"),
+                thresholding=(sample_fn == "dpm_solver++"),
+            )
+
+            def sample(rng, n):
+                x_T = tree_randn_like(
+                    rng,
+                    {
+                        "video": jnp.zeros((n,) + self.video_shape),
+                        "audio": jnp.zeros((n,) + self.audio_shape),
+                    },
+                )
+                order = 3 if sample_fn == "dpm_solver" else 2
+                method = "singlestep" if sample_fn == "dpm_solver" else "multistep"
+                return solver.sample(
+                    x_T, steps=steps, order=order, method=method, skip_type="logSNR"
+                )
+
+        elif sample_fn in ("ddpm", "ddim"):
+
+            def model_fn(x, t_model, rng):
+                return raw_model(x, t_model, rng)
+
+            def sample(rng, n):
+                rng, k = jax.random.split(rng)
+                x_T = tree_randn_like(
+                    k,
+                    {
+                        "video": jnp.zeros((n,) + self.video_shape),
+                        "audio": jnp.zeros((n,) + self.audio_shape),
+                    },
+                )
+                loop = p_sample_loop if sample_fn == "ddpm" else ddim_sample_loop
+                return loop(diffusion, model_fn, x_T, rng, clip_denoised=True)
+
+        else:
+            raise ValueError(sample_fn)
+
+        return sample
+
+    def sample_preview(self, step: int):
+        """EMA-weight preview sampling + media dump
+        (parity: save_video, multimodal_train_util.py:348-468)."""
+        from ..data import media
+
+        ema_key = next(iter(self.state.ema))
+        params = self.state.ema[ema_key]
+        sample = jax.jit(self.make_sampling_fn(params), static_argnums=(1,))
+        self.rng, k = jax.random.split(self.rng)
+        out = jax.device_get(sample(k, self.preview_samples))
+        vids = np.asarray(out["video"])
+        auds = np.asarray(out["audio"])
+        base = f"{self.output_dir}/previews/step_{step:06d}"
+        media.save_video_grid(vids, base + "_grid.mp4")
+        for i in range(vids.shape[0]):
+            media.save_multimodal(vids[i], auds[i], f"{base}_{i:02d}")
+        kvlogger.log(f"wrote preview samples -> {base}*")

@@ -90,8 +90,13 @@ def test_respaced_ddim_loop(setup):
     ],
 )
 def test_dpm_solver_methods(setup, method, order, skip):
-    """Solver math accuracy with a continuous-time exact-eps model (isolates
-    the ODE solver from the discrete-time truncation of wrap_model)."""
+    """Solver accuracy against the analytic probability-flow solution.
+
+    For the delta-data model the exact eps direction is preserved along the
+    flow: x(t) = alpha(t) x0 + sigma(t) eps_hat, with
+    eps_hat = (x_T - alpha(T) x0) / sigma(T).  The solver must hit x(t_0)
+    tightly, and with denoise=True must return exactly x0.
+    """
     diff, x0, eps_model, x_T = setup
     ns = NoiseScheduleVP.from_alphas_cumprod(np.asarray(diff.tables.alphas_cumprod))
 
@@ -99,12 +104,24 @@ def test_dpm_solver_methods(setup, method, order, skip):
         a, s = ns.marginal_alpha(t_cont), ns.marginal_std(t_cont)
         return jax.tree.map(lambda xt, x0l: (xt - a * x0l) / s, x, x0)
 
+    t_0 = 1.0 / ns.total_N
+    aT, sT = ns.marginal_alpha(jnp.asarray(1.0)), ns.marginal_std(jnp.asarray(1.0))
+    a0, s0 = ns.marginal_alpha(jnp.asarray(t_0)), ns.marginal_std(jnp.asarray(t_0))
+    eps_hat = jax.tree.map(lambda xt, x0l: (xt - aT * x0l) / sT, x_T, x0)
+    expected_t0 = jax.tree.map(lambda x0l, e: a0 * x0l + s0 * e, x0, eps_hat)
+
     for predict_x0 in (False, True):
         solver = DPMSolver(cont_eps, ns, predict_x0=predict_x0)
         out = jax.jit(
             lambda xT: solver.sample(xT, steps=15, order=order, skip_type=skip, method=method)
         )(x_T)
-        _close(out, x0, 0.06)
+        _close(out, expected_t0, 0.02)
+        out_dn = jax.jit(
+            lambda xT: solver.sample(
+                xT, steps=15, order=order, skip_type=skip, method=method, denoise=True
+            )
+        )(x_T)
+        _close(out_dn, x0, 1e-3)
 
 
 def test_dpm_solver_discrete_wrap(setup):
@@ -127,8 +144,8 @@ def test_dpm_solver_adaptive(setup):
     ns = NoiseScheduleVP.from_alphas_cumprod(np.asarray(diff.tables.alphas_cumprod))
     model_fn = wrap_model(lambda x, t: eps_model(x, t), ns)
     solver = DPMSolver(model_fn, ns, predict_x0=True)
-    out = jax.jit(lambda xT: solver.sample(xT, method="adaptive", order=2))(x_T)
-    _close(out, x0, 0.1)
+    out = jax.jit(lambda xT: solver.sample(xT, method="adaptive", order=2, denoise=True))(x_T)
+    _close(out, x0, 0.02)
 
 
 def test_dpm_thresholding_runs(setup):
@@ -136,7 +153,7 @@ def test_dpm_thresholding_runs(setup):
     ns = NoiseScheduleVP.from_alphas_cumprod(np.asarray(diff.tables.alphas_cumprod))
     model_fn = wrap_model(lambda x, t: eps_model(x, t), ns)
     solver = DPMSolver(model_fn, ns, predict_x0=True, thresholding=True)
-    out = jax.jit(lambda xT: solver.sample(xT, steps=10, order=2, method="multistep"))(x_T)
+    out = jax.jit(lambda xT: solver.sample(xT, steps=10, order=2, method="multistep", denoise=True))(x_T)
     _close(out, x0, 0.15)
 
 
@@ -153,8 +170,8 @@ def test_single_tensor_dpm(setup):
 
     solver = DPMSolver(wrap_model(eps, ns), ns, predict_x0=True)
     x_T = jax.random.normal(jax.random.PRNGKey(5), x0.shape)
-    out = jax.jit(lambda xT: solver.sample(xT, steps=12, order=2, method="multistep"))(x_T)
-    assert float(jnp.max(jnp.abs(out - x0))) < 0.1
+    out = jax.jit(lambda xT: solver.sample(xT, steps=12, order=2, method="multistep", denoise=True))(x_T)
+    assert float(jnp.max(jnp.abs(out - x0))) < 0.05
 
 
 def test_conditional_replacement_loop(setup):
