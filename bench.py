@@ -31,7 +31,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-BATCH = 4
+BATCH = 8
 NFE = 20
 
 

@@ -81,11 +81,11 @@ def build_base_sampler(
         )
 
         def cont_model(x, t_cont):
+            b = x["video"].shape[0]
             t_in = ((t_cont - 1.0 / ns.total_N) * ns.total_N).astype(jnp.int32)
+            t_in = jnp.broadcast_to(jnp.atleast_1d(t_in), (b,))
             # fresh RS-MMA shift per NFE, keyed by the (deterministic) step time
-            shift_rng = jax.random.fold_in(
-                jax.random.PRNGKey(0), t_in.reshape(-1)[0]
-            )
+            shift_rng = jax.random.fold_in(jax.random.PRNGKey(0), t_in[0])
             return raw(x, t_in, shift_rng, strip_sigma=True)
 
         solver = DPMSolver(
@@ -200,7 +200,9 @@ def build_sr_sampler(
 
         def sr(rng, low_res, x_T=None):
             def cont_model(x, t_cont):
+                b = x.shape[0]
                 t_in = ((t_cont - 1.0 / ns.total_N) * ns.total_N).astype(jnp.int32)
+                t_in = jnp.broadcast_to(jnp.atleast_1d(t_in), (b,))
                 return raw(x, t_in, low_res, strip_sigma=True)
 
             solver = DPMSolver(cont_model, ns, predict_x0=(sample_fn == "dpm_solver++"),

@@ -23,7 +23,6 @@ import numpy as np
 
 from ..diffusion.gaussian import GaussianDiffusion, tree_randn_like
 from ..parallel import make_mesh, replicated, shard_batch
-from ..samplers import DPMSolver, NoiseScheduleVP, ddim_sample_loop, p_sample_loop, wrap_model
 from ..utils import logger as kvlogger
 from . import checkpoint as ckpt_lib
 from .resample import create_named_schedule_sampler
@@ -166,76 +165,15 @@ class TrainLoop:
     def make_sampling_fn(self, params, sample_fn: Optional[str] = None, steps: int = 20):
         """Build a jittable batch sampler from given params (typically EMA)
         (parity: save_video's sampler dispatch, multimodal_train_util.py:373-416)."""
-        sample_fn = sample_fn or self.sample_fn_name
-        cfg = self.model.cfg
-        learn_sigma = cfg.video_out_channels == 6
-        diffusion = self.diffusion
+        from ..sampling import build_base_sampler
 
-        def raw_model(x, t_model, rng):
-            v, a = self.model.apply(
-                {"params": params}, x["video"], x["audio"], t_model,
-                rngs={"shift": rng},
-            )
-            if learn_sigma:
-                v = v[..., : v.shape[-1] // 2]
-                a = a[..., : a.shape[-1] // 2]
-            return {"video": v, "audio": a}
-
-        if sample_fn in ("dpm_solver", "dpm_solver++"):
-            ns = NoiseScheduleVP.from_alphas_cumprod(
-                np.asarray(diffusion.tables.alphas_cumprod, np.float64)
-            )
-
-            def cont_model(x, t_cont):
-                t_key = (t_cont.reshape(-1)[0] * ns.total_N).astype(jnp.int32)
-                return raw_model(
-                    x,
-                    ((t_cont - 1.0 / ns.total_N) * ns.total_N).astype(jnp.int32),
-                    jax.random.fold_in(jax.random.PRNGKey(0), t_key),
-                )
-
-            solver = DPMSolver(
-                cont_model,
-                ns,
-                predict_x0=(sample_fn == "dpm_solver++"),
-                thresholding=(sample_fn == "dpm_solver++"),
-            )
-
-            def sample(rng, n):
-                x_T = tree_randn_like(
-                    rng,
-                    {
-                        "video": jnp.zeros((n,) + self.video_shape),
-                        "audio": jnp.zeros((n,) + self.audio_shape),
-                    },
-                )
-                order = 3 if sample_fn == "dpm_solver" else 2
-                method = "singlestep" if sample_fn == "dpm_solver" else "multistep"
-                return solver.sample(
-                    x_T, steps=steps, order=order, method=method, skip_type="logSNR"
-                )
-
-        elif sample_fn in ("ddpm", "ddim"):
-
-            def model_fn(x, t_model, rng):
-                return raw_model(x, t_model, rng)
-
-            def sample(rng, n):
-                rng, k = jax.random.split(rng)
-                x_T = tree_randn_like(
-                    k,
-                    {
-                        "video": jnp.zeros((n,) + self.video_shape),
-                        "audio": jnp.zeros((n,) + self.audio_shape),
-                    },
-                )
-                loop = p_sample_loop if sample_fn == "ddpm" else ddim_sample_loop
-                return loop(diffusion, model_fn, x_T, rng, clip_denoised=True)
-
-        else:
-            raise ValueError(sample_fn)
-
-        return sample
+        return build_base_sampler(
+            self.model,
+            self.diffusion,
+            params,
+            sample_fn=sample_fn or self.sample_fn_name,
+            steps=steps,
+        )
 
     def sample_preview(self, step: int):
         """EMA-weight preview sampling + media dump
