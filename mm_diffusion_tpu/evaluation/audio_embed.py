@@ -84,14 +84,23 @@ class LogMelEmbedder:
 
 
 def load_audioclip(checkpoint_path: str):
-    """Convert the AudioCLIP torch checkpoint into a flax audio tower.
+    """Load the flax ESResNeXt-FBSP audio tower from the published AudioCLIP
+    checkpoint (see :mod:`mm_diffusion_tpu.evaluation.audioclip`) and return a
+    batched embedding callable matching :class:`LogMelEmbedder`'s interface."""
+    import jax
+    import jax.numpy as jnp
 
-    The full ESResNeXt-FBSP port is tracked for a later round; without the
-    checkpoint this raises with instructions, and callers fall back to
-    :class:`LogMelEmbedder`.
-    """
-    raise NotImplementedError(
-        "AudioCLIP tower port pending; place the torch checkpoint at "
-        f"{checkpoint_path} and use LogMelEmbedder for self-consistent FAD "
-        "until the converter lands."
-    )
+    from .audioclip import load_audioclip_audio_tower
+
+    model, variables = load_audioclip_audio_tower(checkpoint_path)
+    apply = jax.jit(lambda a: model.apply(variables, a))
+
+    def embed(audio_batch: np.ndarray) -> np.ndarray:
+        a = np.asarray(audio_batch, np.float32)
+        if a.ndim == 3 and a.shape[-1] <= 4:  # [B, L, C] channels-last -> [B, C, L]
+            a = np.transpose(a, (0, 2, 1))
+        elif a.ndim == 2:
+            a = a[:, None, :]
+        return np.asarray(jax.device_get(apply(jnp.asarray(a))))
+
+    return embed

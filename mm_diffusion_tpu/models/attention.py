@@ -78,7 +78,9 @@ class TokenSelfAttention(nn.Module):
             3 * self.channels, dtype=self.dtype, param_dtype=jnp.float32, name="qkv"
         )(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        out = qkv_attention(
+        from ..ops.fused_attention import flash_mha
+
+        out = flash_mha(
             _split_heads(q, self.num_heads),
             _split_heads(k, self.num_heads),
             _split_heads(v, self.num_heads),
@@ -184,10 +186,23 @@ class RSMMACrossAttention(nn.Module):
             g = jnp.take(t, win, axis=1)  # [B, F, lw, T, h, d]
             return g.reshape(b, f, -1, *t.shape[-2:])
 
+        from ..ops.fused_attention import flash_mha
+
+        def framed_attention(q, k, v):
+            # [B, F, T, h, d] -> flash over a (B*F) batch of per-frame windows
+            bq, fq, tq, hh, dd = q.shape
+            tk = k.shape[2]
+            out = flash_mha(
+                q.reshape(bq * fq, tq, hh, dd),
+                k.reshape(bq * fq, tk, hh, dd),
+                v.reshape(bq * fq, tk, hh, dd),
+            )
+            return out.reshape(bq, fq, tq, hh, dd)
+
         # video queries x audio keys/values
-        v_out = qkv_attention(vq, gather_window(ak), gather_window(av))
+        v_out = framed_attention(vq, gather_window(ak), gather_window(av))
         # audio queries x video keys/values
-        a_out = qkv_attention(aq, gather_window(vk), gather_window(vv))
+        a_out = framed_attention(aq, gather_window(vk), gather_window(vv))
 
         zero_dense = dict(
             dtype=self.dtype,

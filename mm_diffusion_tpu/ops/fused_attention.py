@@ -1,0 +1,96 @@
+"""Fused (flash) multi-head attention dispatch.
+
+The hot ops of the MM-UNet are its attention blocks: at ds=2 the spatial
+self-attention runs 1024-token sequences over batch*frames rows, and RS-MMA
+cross-attention attends 1024 video tokens to 400-sample audio windows
+(SURVEY §2.6 identifies these as the only non-library-primitive ops worth a
+kernel).  A plain einsum materializes the full [.., T_q, T_k] float32 logits
+tensor in HBM; the Pallas TPU flash-attention kernel keeps the softmax
+streaming in VMEM.
+
+Dispatch policy:
+* TPU + sequences long enough to tile (>= 2*MIN_BLOCK) -> Pallas flash
+  attention (with padding + segment-id masking for ragged kv lengths);
+* otherwise -> the reference einsum path (`models.attention.qkv_attention`),
+  which is also the numerics oracle in tests.
+
+Scaling parity: the reference scales q and k each by ``1/sqrt(sqrt(D))``
+(multimodal_unet.py:232-237) == one logit scale of ``1/sqrt(D)``.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+try:  # the kernel lives in jax.experimental; gate for non-TPU builds
+    from jax.experimental.pallas.ops.tpu import flash_attention as _fa
+
+    _HAS_FLASH = True
+except Exception:  # pragma: no cover
+    _HAS_FLASH = False
+
+_BLOCK = 128  # TPU flash kernel block granularity
+
+
+def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
+    size = x.shape[axis]
+    pad = (-size) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _use_flash(t_q: int, t_k: int, d: int) -> bool:
+    if not _HAS_FLASH:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    # only profitable for real sequence lengths; tiny T wastes a kernel launch
+    return t_q >= _BLOCK and t_k >= _BLOCK // 2 and d <= 256
+
+
+def flash_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Multi-head attention over ``[B, T, H, D]`` tensors (same contract as
+    `models.attention.qkv_attention`), flash-fused on TPU when profitable."""
+    from ..models.attention import qkv_attention
+
+    b, t_q, h, d = q.shape
+    t_k = k.shape[1]
+    if not _use_flash(t_q, t_k, d):
+        return qkv_attention(q, k, v)
+
+    sm_scale = 1.0 / math.sqrt(d)
+    # [B, T, H, D] -> [B, H, T, D]
+    qt = jnp.swapaxes(q, 1, 2)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+
+    q_pad = _pad_to(qt, 2, _BLOCK)
+    k_pad = _pad_to(kt, 2, _BLOCK)
+    v_pad = _pad_to(vt, 2, _BLOCK)
+    tq_p, tk_p = q_pad.shape[2], k_pad.shape[2]
+
+    if tq_p != t_q or tk_p != t_k:
+        q_seg = (jnp.arange(tq_p) < t_q).astype(jnp.int32)[None].repeat(b, 0)
+        kv_seg = (jnp.arange(tk_p) < t_k).astype(jnp.int32)[None].repeat(b, 0)
+        seg = _fa.SegmentIds(q=q_seg, kv=kv_seg)
+    else:
+        seg = None
+
+    out = _fa.flash_attention(
+        q_pad.astype(jnp.float32),
+        k_pad.astype(jnp.float32),
+        v_pad.astype(jnp.float32),
+        segment_ids=seg,
+        causal=False,
+        sm_scale=sm_scale,
+    )
+    out = out[:, :, :t_q].astype(v.dtype)
+    return jnp.swapaxes(out, 1, 2)

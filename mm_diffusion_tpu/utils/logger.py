@@ -21,7 +21,13 @@ from typing import Dict, Optional
 
 
 class KVLogger:
-    def __init__(self, log_dir: Optional[str] = None, suffix: str = "", stdout: bool = True):
+    def __init__(
+        self,
+        log_dir: Optional[str] = None,
+        suffix: str = "",
+        stdout: bool = True,
+        tensorboard: bool = False,
+    ):
         self._sums: Dict[str, float] = defaultdict(float)
         self._counts: Dict[str, int] = defaultdict(int)
         self._vals: Dict[str, float] = {}
@@ -30,10 +36,19 @@ class KVLogger:
         self._jsonl = None
         self._csv_path = None
         self._csv_keys = None
+        self._tb = None
+        self._tb_step = 0
         if log_dir:
             os.makedirs(log_dir, exist_ok=True)
             self._jsonl = open(os.path.join(log_dir, f"progress{suffix}.jsonl"), "a")
             self._csv_path = os.path.join(log_dir, f"progress{suffix}.csv")
+            if tensorboard:
+                try:  # gated: tensorboard writer (parity: logger.py TB format)
+                    from torch.utils.tensorboard import SummaryWriter
+
+                    self._tb = SummaryWriter(os.path.join(log_dir, "tb"))
+                except Exception:
+                    self._tb = None
 
     def logkv(self, key: str, val):
         self._vals[key] = float(val)
@@ -71,6 +86,11 @@ class KVLogger:
             self._jsonl.flush()
         if self._csv_path and kvs:
             self._dump_csv(kvs)
+        if self._tb is not None and kvs:
+            step = int(kvs.get("step", self._tb_step))
+            self._tb_step = step + 1
+            for k, v in kvs.items():
+                self._tb.add_scalar(k, v, step)
         self._vals.clear()
         self._sums.clear()
         self._counts.clear()
@@ -117,9 +137,9 @@ class KVLogger:
 _default = KVLogger()
 
 
-def configure(log_dir: Optional[str] = None, suffix: str = "", stdout: bool = True):
+def configure(log_dir: Optional[str] = None, suffix: str = "", stdout: bool = True, tensorboard: bool = False):
     global _default
-    _default = KVLogger(log_dir, suffix, stdout)
+    _default = KVLogger(log_dir, suffix, stdout, tensorboard)
     return _default
 
 
