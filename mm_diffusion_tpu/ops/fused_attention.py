@@ -84,13 +84,34 @@ def flash_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     else:
         seg = None
 
+    # Block sizes tuned on v5e for this model's shapes (large batch*frames,
+    # few heads): big q blocks + whole-k tiles + batch blocking beat the
+    # kernel defaults by ~3x and the XLA einsum by ~1.5x.
+    block_q = min(tq_p, 1024)
+    block_k = min(tk_p, 512)
+    block_b = min(b, max(1, 2048 // block_q))
+    block_sizes = _fa.BlockSizes(
+        block_q=block_q,
+        block_k_major=block_k,
+        block_k=block_k,
+        block_b=block_b,
+        block_q_major_dkv=block_q,
+        block_k_major_dkv=block_k,
+        block_k_dkv=block_k,
+        block_q_dkv=block_q,
+        block_k_major_dq=block_k,
+        block_k_dq=block_k,
+        block_q_dq=block_q,
+    )
+
     out = _fa.flash_attention(
-        q_pad.astype(jnp.float32),
-        k_pad.astype(jnp.float32),
-        v_pad.astype(jnp.float32),
+        q_pad,
+        k_pad,
+        v_pad,
         segment_ids=seg,
         causal=False,
         sm_scale=sm_scale,
+        block_sizes=block_sizes,
     )
     out = out[:, :, :t_q].astype(v.dtype)
     return jnp.swapaxes(out, 1, 2)
