@@ -69,6 +69,7 @@ def eval_multimodal(
     video_size=(16, 3, 64, 64),
     eval_num: int = 2048,
     i3d_checkpoint: Optional[str] = None,
+    audioclip_checkpoint: Optional[str] = None,
     audio_embedder: Optional[Callable] = None,
     batch_size: int = BATCH_SIZE,
 ) -> Dict[str, float]:
@@ -98,7 +99,16 @@ def eval_multimodal(
             )
 
     if audio_embedder is None:
-        audio_embedder = LogMelEmbedder(sample_rate=AUDIO_RATE)
+        if audioclip_checkpoint and os.path.exists(audioclip_checkpoint):
+            from .audio_embed import load_audioclip
+
+            audio_embedder = load_audioclip(audioclip_checkpoint)
+        else:
+            log.log(
+                "eval: no AudioCLIP checkpoint — log-mel fallback FAD "
+                "(relative comparisons only)"
+            )
+            audio_embedder = LogMelEmbedder(sample_rate=AUDIO_RATE)
 
     def collect(path):
         vid_emb, aud_emb = [], []

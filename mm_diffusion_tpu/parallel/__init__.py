@@ -1,3 +1,4 @@
+from .bootstrap import device_info, setup_dist
 from .mesh import (
     DATA_AXIS,
     FSDP_AXIS,
@@ -11,6 +12,8 @@ from .mesh import (
 )
 
 __all__ = [
+    "device_info",
+    "setup_dist",
     "DATA_AXIS",
     "FSDP_AXIS",
     "batch_sharding",

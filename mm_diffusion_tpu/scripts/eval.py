@@ -20,6 +20,7 @@ def main(argv=None):
     parser.add_argument("--sample_num", type=int, default=2048)
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--i3d_checkpoint", type=str, default="")
+    parser.add_argument("--audioclip_checkpoint", type=str, default="")
     args = parser.parse_args(argv)
 
     logger.configure(args.output_dir)
@@ -28,6 +29,7 @@ def main(argv=None):
         args.fake_dir,
         eval_num=args.sample_num,
         i3d_checkpoint=args.i3d_checkpoint or None,
+        audioclip_checkpoint=args.audioclip_checkpoint or None,
         batch_size=args.batch_size,
     )
     print(json.dumps(metrics))
