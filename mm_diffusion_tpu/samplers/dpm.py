@@ -47,6 +47,9 @@ class NoiseScheduleVP(struct.PyTreeNode):
     @classmethod
     def from_alphas_cumprod(cls, alphas_cumprod) -> "NoiseScheduleVP":
         abar = np.asarray(alphas_cumprod, dtype=np.float64)
+        # guard against degenerate schedules (e.g. a very short linear
+        # schedule reaches beta=1 => alpha_bar=0 => log(-inf))
+        abar = np.clip(abar, 1e-12, 1.0)
         n = abar.shape[0]
         return cls(
             t_array=jnp.asarray(np.linspace(0.0, 1.0, n + 1)[1:], dtype=jnp.float32),

@@ -39,7 +39,7 @@ def base_env():
         dtype="float32",
     )
     model = MultimodalUNet(cfg)
-    diffusion = create_gaussian_diffusion(steps=20)
+    diffusion = create_gaussian_diffusion(steps=50)
     k = jax.random.PRNGKey(0)
     variables = model.init(
         {"params": k, "shift": k},
@@ -61,7 +61,7 @@ def sr_env():
 
     cfg = dataclasses.replace(cfg, image_size=16, channel_mult=(1, 2))
     model = ImageSuperResModel(cfg)
-    diffusion = create_gaussian_diffusion(steps=20, learn_sigma=True)
+    diffusion = create_gaussian_diffusion(steps=50, learn_sigma=True)
     variables = model.init(
         {"params": jax.random.PRNGKey(0)},
         jnp.zeros((1, 16, 16, 3)),
@@ -106,7 +106,7 @@ def test_full_base_plus_sr_pipeline(base_env, sr_env):
 
 def test_sr_sampler_dpm_variant(sr_env):
     sr_model, _, sr_params = sr_env
-    sr_diffusion = create_gaussian_diffusion(steps=20, learn_sigma=True)
+    sr_diffusion = create_gaussian_diffusion(steps=50, learn_sigma=True)
     sr = build_sr_sampler(sr_model, sr_diffusion, sr_params, "dpm_solver++", steps=6)
     low = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 8, 3))
     out = jax.jit(sr)(jax.random.PRNGKey(4), low)
