@@ -3,6 +3,7 @@ from .ancestral import (
     ddim_reverse_loop,
     ddim_sample_loop,
     p_sample_loop,
+    p_sample_loop_diverse,
 )
 from .dpm import DPMSolver, NoiseScheduleVP, model_input_time, wrap_model
 
@@ -11,6 +12,7 @@ __all__ = [
     "ddim_reverse_loop",
     "ddim_sample_loop",
     "p_sample_loop",
+    "p_sample_loop_diverse",
     "DPMSolver",
     "NoiseScheduleVP",
     "model_input_time",

@@ -121,6 +121,54 @@ def ddim_reverse_loop(
     return x
 
 
+def p_sample_loop_diverse(
+    diffusion: GaussianDiffusion,
+    model_fn: StepModelFn,
+    x_T: PyTree,
+    rng: jax.Array,
+    random_num: int = 10,
+    random_step=(899, 999),
+    clip_denoised: bool = True,
+) -> PyTree:
+    """N diversified trajectories from ONE shared x_T: ancestral noise is
+    shared across copies at every step except inside the ``random_step``
+    window, where each copy draws independently — so the samples differ only
+    through that window (parity: p_sample_loop_progressive_random,
+    gaussian_diffusion.py:561-624).
+
+    Returns a pytree whose leaves have a leading ``random_num`` axis.
+    """
+    b = _batch_size(x_T)
+    n = diffusion.num_timesteps
+    rs0, rs1 = random_step
+    imgs = jax.tree.map(lambda l: jnp.broadcast_to(l[None], (random_num,) + l.shape), x_T)
+
+    def body(carry, i):
+        imgs, rng = carry
+        rng, k_model, k_shared = jax.random.split(rng, 3)
+        t = jnp.full((b,), i, dtype=jnp.int32)
+        in_window = jnp.logical_and(i > rs0, i <= rs1)
+
+        def sample_one(img, r_idx):
+            # shared key outside the window (fold with 0 for every copy),
+            # per-copy key inside it
+            k = jax.random.fold_in(k_shared, r_idx * in_window.astype(jnp.int32))
+            out = diffusion.p_sample(
+                lambda xx, tt: model_fn(xx, tt, k_model),
+                img,
+                t,
+                k,
+                clip_denoised=clip_denoised,
+            )
+            return out["sample"]
+
+        imgs = jax.vmap(sample_one)(imgs, jnp.arange(random_num))
+        return (imgs, rng), None
+
+    (imgs, _), _ = jax.lax.scan(body, (imgs, rng), jnp.arange(n - 1, -1, -1))
+    return imgs
+
+
 def conditional_p_sample_loop(
     diffusion: GaussianDiffusion,
     model_fn: StepModelFn,
