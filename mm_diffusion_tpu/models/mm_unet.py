@@ -259,10 +259,13 @@ class MMResBlock(nn.Module):
 
     spec: ResBlockSpec
     cfg: MMUNetConfig
+    train: bool = False
 
     @nn.compact
-    def __call__(self, video, audio, emb, *, train: bool = False):
-        cfg, spec = self.cfg, self.spec
+    def __call__(self, video, audio, emb):
+        # `train` is a static module attribute (not a call arg) so that
+        # nn.remat sees only array arguments.
+        cfg, spec, train = self.cfg, self.spec, self.train
         dt = cfg.compute_dtype
 
         video_h = GroupNormFP32(name="video_norm_in")(video)
@@ -395,8 +398,8 @@ class MultimodalUNet(nn.Module):
                 elif spec == "upsample":
                     video, audio = video_upsample(video), audio_upsample(audio)
                 elif isinstance(spec, ResBlockSpec):
-                    block = maybe_remat(MMResBlock)(spec, cfg, name=name + "_res")
-                    video, audio = block(video, audio, emb, train=train)
+                    block = maybe_remat(MMResBlock)(spec, cfg, train, name=name + "_res")
+                    video, audio = block(video, audio, emb)
                 elif isinstance(spec, CrossAttnSpec):
                     video, audio = RSMMACrossAttention(
                         channels=spec.ch,
