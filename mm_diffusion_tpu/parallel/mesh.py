@@ -86,6 +86,14 @@ def params_shardings(params, mesh: Mesh, min_size_to_shard: int = 2**18):
 
 def shard_batch(batch, mesh: Mesh):
     """Place a host-global batch onto the mesh with batch-axis sharding."""
+    n = mesh.devices.size
+    b = jax.tree_util.tree_leaves(batch)[0].shape[0]
+    if b % n != 0:
+        raise ValueError(
+            f"global batch size {b} must be divisible by the mesh's "
+            f"{n} devices — raise --batch_size or shrink the mesh "
+            f"(make_mesh(n_data=...))"
+        )
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda l: jax.device_put(l, sh), batch)
 
