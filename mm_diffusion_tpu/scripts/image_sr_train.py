@@ -120,7 +120,7 @@ def main(argv=None):
         data = real_sr_data(args.data_dir, args.batch_size, large, small, args.seed)
 
     k = jax.random.PRNGKey(args.seed)
-    variables = model.init(
+    variables = jax.jit(model.init)(
         {"params": k},
         jnp.zeros((1, large, large, 3)),
         jnp.zeros((1,), jnp.int32),

@@ -55,7 +55,7 @@ def create_argparser():
 
 def load_model_params(path: str, model, init_rngs, dummy_args):
     """Load Orbax params or initialize randomly (``path == 'random'``)."""
-    variables = model.init(init_rngs, *dummy_args)
+    variables = jax.jit(model.init)(init_rngs, *dummy_args)
     if path == "random":
         return variables["params"]
     if os.path.isdir(os.path.join(path, "checkpoints")) or os.path.isdir(path):

@@ -90,7 +90,9 @@ class TrainLoop:
             self.rng, k_init, k_shift = jax.random.split(self.rng, 3)
             dummy_v = jnp.zeros((1, f, h, w, c), jnp.float32)
             dummy_a = jnp.zeros((1, l, ca), jnp.float32)
-            variables = model.init(
+            # jit the init: eager per-op dispatch is pathological on remote
+            # device transports
+            variables = jax.jit(model.init)(
                 {"params": k_init, "shift": k_shift},
                 dummy_v,
                 dummy_a,
