@@ -63,3 +63,33 @@ def test_use_flash_policy():
     # policy depends on backend; on CPU always False
     if jax.default_backend() != "tpu":
         assert not fu._use_flash(1024, 512, 64)
+
+
+def test_kernel_vjp_parity_interpret_mode():
+    """The flash kernel's custom VJP (used by TPU training) must match the
+    einsum path's gradients."""
+    import math
+
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    b, h, t, d = 1, 2, 256, 64
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (b, h, t, d))
+    k = jax.random.normal(ks[1], (b, h, t, d))
+    v = jax.random.normal(ks[2], (b, h, t, d))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v, sm_scale=1 / math.sqrt(d)) ** 2)
+
+    def loss_ref(q, k, v):
+        o = qkv_attention(
+            jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2)
+        )
+        return jnp.sum(jnp.swapaxes(o, 1, 2) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)

@@ -153,3 +153,23 @@ def test_eval_cli(tmp_path):
     assert set(metrics) == {"fvd", "kvd", "fad"}
     for v in metrics.values():
         assert np.isfinite(v)
+
+
+def test_audio2video_cli(tmp_path):
+    from mm_diffusion_tpu.scripts import audio2video_sample_sr
+
+    audio2video_sample_sr.main(
+        TINY_MM
+        + TINY_SR
+        + [
+            "--data_dir", "synthetic",
+            "--multimodal_model_path", "random",
+            "--sr_model_path", "",  # skip the SR chain in the smoke test
+            "--output_dir", str(tmp_path),
+            "--batch_size", "1",
+            "--sample_num", "1",
+            "--classifier_scale", "0.0",
+            "--diffusion_steps", "50",
+        ]
+    )
+    assert glob.glob(str(tmp_path / "a2v_*"))
