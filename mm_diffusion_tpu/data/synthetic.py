@@ -11,7 +11,7 @@ tests require a real dataset); this directly covers SURVEY §4's test-strategy g
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, Optional, Tuple
+from typing import Dict, Iterator, Tuple
 
 import numpy as np
 

@@ -25,9 +25,8 @@ Weights convert from the published ``AudioCLIP-Full-Training.pt`` via
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn

@@ -19,9 +19,6 @@ TPU-native re-design of `mm_diffusion/nn.py` and the conv/resample blocks of
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
-
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -15,9 +15,8 @@ the reference CLI surface maps directly.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -20,10 +20,7 @@ Scaling parity: the reference scales q and k each by ``1/sqrt(sqrt(D))``
 
 from __future__ import annotations
 
-import functools
 import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -16,12 +16,12 @@ random window shift).  Pass ``None``-tolerant wrappers if unused.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
 
-from ..diffusion.gaussian import GaussianDiffusion, mean_flat, tree_randn_like
+from ..diffusion.gaussian import GaussianDiffusion, mean_flat
 
 PyTree = Any
 StepModelFn = Callable[[PyTree, jnp.ndarray, jax.Array], PyTree]

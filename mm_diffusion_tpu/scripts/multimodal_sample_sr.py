@@ -14,15 +14,12 @@ import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .. import configs
 from ..configs import add_dict_to_argparser, args_to_dict
 from ..data import media
-from ..models.image_unet import ImageSuperResModel
 from ..models.mm_unet import MultimodalUNet
 from ..sampling import build_base_sampler, build_sr_sampler, sample_base_and_sr
-from ..train import checkpoint as ckpt_lib
 from ..utils import logger
 
 

@@ -15,18 +15,18 @@ an SPMD execution model:
 from __future__ import annotations
 
 import time
-from typing import Any, Callable, Dict, Iterator, Optional, Sequence
+from typing import Dict, Iterator, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..diffusion.gaussian import GaussianDiffusion, tree_randn_like
+from ..diffusion.gaussian import GaussianDiffusion
 from ..parallel import make_mesh, replicated, shard_batch
 from ..utils import logger as kvlogger
 from . import checkpoint as ckpt_lib
 from .resample import create_named_schedule_sampler
-from .state import TrainState, create_train_state, make_optimizer, make_train_step
+from .state import create_train_state, make_optimizer, make_train_step
 
 
 def parse_ema_rates(ema_rate) -> Sequence[float]:

@@ -17,7 +17,7 @@ Re-design of the reference training stack (`multimodal_train_util.py` +
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +25,7 @@ import optax
 from flax import struct
 
 from ..diffusion.gaussian import GaussianDiffusion
-from .resample import LossSecondMomentResampler, UniformSampler
+from .resample import UniformSampler
 
 PyTree = Any
 
@@ -106,7 +106,6 @@ def make_train_step(
     batch is split into microbatches scanned sequentially (the reference's
     no_sync() microbatching, multimodal_train_util.py:289-319).
     """
-    ema_assert_done = False
 
     def loss_for_batch(params, micro, t, weights, rng):
         k_loss, k_shift, k_drop = jax.random.split(rng, 3)

@@ -14,7 +14,6 @@ import contextlib
 import csv
 import json
 import os
-import sys
 import time
 from collections import defaultdict
 from typing import Dict, Optional
