@@ -29,6 +29,11 @@ import os
 import time
 
 import jax
+
+# Persistent compilation cache: compiles through the remote-device transport
+# cost minutes; cache hits are ~instant across processes.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 BATCH = 8

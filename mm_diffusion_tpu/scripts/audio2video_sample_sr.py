@@ -152,6 +152,9 @@ def run_conditional(args, condition_key: str, save_prefix: str):
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = create_argparser().parse_args(argv)
     run_conditional(args, condition_key="audio", save_prefix="a2v")
 

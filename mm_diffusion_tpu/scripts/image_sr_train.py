@@ -106,6 +106,9 @@ def create_argparser():
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = create_argparser().parse_args(argv)
     logger.configure(args.output_dir)
     log = logger.get_current()

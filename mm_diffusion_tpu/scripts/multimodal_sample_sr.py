@@ -69,6 +69,9 @@ def load_model_params(path: str, model, init_rngs, dummy_args):
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = create_argparser().parse_args(argv)
     logger.configure(args.output_dir)
     log = logger.get_current()
