@@ -72,6 +72,7 @@ def eval_multimodal(
     audioclip_checkpoint: Optional[str] = None,
     audio_embedder: Optional[Callable] = None,
     batch_size: int = BATCH_SIZE,
+    compute_is: bool = False,
 ) -> Dict[str, float]:
     """(parity surface: eval_multimodal, evaluator.py:60-174)
 
@@ -131,8 +132,17 @@ def eval_multimodal(
     real_v, real_a = collect(real_path)
     log.log(f"evaluate for {len(real_v)} samples")
 
-    return {
+    metrics = {
         "fvd": frechet_distance(fake_v, real_v),
         "kvd": polynomial_mmd(fake_v, real_v),
         "fad": frechet_distance(fake_a, real_a) * 10000.0,
     }
+    if compute_is and not pixel_fallback:
+        # video Inception Score over the I3D class posteriors (capability
+        # parity with evaluations/compute_video_is.py, minus the chainer C3D)
+        from .inception_score import inception_score
+
+        is_mean, is_std = inception_score(fake_v)
+        metrics["video_is"] = is_mean
+        metrics["video_is_std"] = is_std
+    return metrics

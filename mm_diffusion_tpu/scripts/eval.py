@@ -21,6 +21,7 @@ def main(argv=None):
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--i3d_checkpoint", type=str, default="")
     parser.add_argument("--audioclip_checkpoint", type=str, default="")
+    parser.add_argument("--compute_is", action="store_true")
     args = parser.parse_args(argv)
 
     logger.configure(args.output_dir)
@@ -31,6 +32,7 @@ def main(argv=None):
         i3d_checkpoint=args.i3d_checkpoint or None,
         audioclip_checkpoint=args.audioclip_checkpoint or None,
         batch_size=args.batch_size,
+        compute_is=args.compute_is,
     )
     print(json.dumps(metrics))
 
