@@ -1,25 +1,30 @@
-"""Benchmark: flagship MM-UNet denoise-step latency and derived AV-pair
-sampling throughput on one chip.
+"""Benchmark: AV-pair throughput of the flagship base+SR sampling pipeline
+on one chip, plus per-denoise-step latency.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Headline (BASELINE.json): AV pairs/sec/chip for 64x64x16f base sampling and
-per-denoise-step ms.  Protocol:
+Headline (BASELINE.json): AV pairs/sec/chip for 64x64x16f base + 64->256 SR
+sampling.  Protocol:
 
+* base model: reference-shipped config (128ch, RS-MMA 2/4/8, head_ch 64),
+  20-NFE DPM-Solver; SR model: reference config (192ch, mult (1,1,2,2,4,4),
+  learn_sigma), ddim25 over the clip's 16 frames at 256^2
+  (ssh_scripts/multimodal_sample_sr.sh protocol).
 * parameters come from ``jax.eval_shape`` + direct allocation (values don't
-  affect throughput; avoids a full init compile through the device tunnel);
-* per-denoise-step latency is measured on the jitted bf16 forward at batch 4;
-* pairs/sec for the 20-NFE DPM-Solver base sampler is derived as
-  ``BATCH / (NFE * step_seconds)`` — solver coefficient math is O(1) scalar
-  work per step, negligible next to 20 U-Net evals.  Set ``BENCH_FULL=1`` to
-  also time the real scan-based multistep sampler end-to-end.
+  affect throughput).
+* latency measured by chaining serially-dependent evals inside one jit and
+  reading back a scalar (python-loop + block_until_ready under-reports on
+  this platform's async runtime); pairs/sec derived as
+  1 / (NFE_base * t_base_per_pair + NFE_sr * t_sr_per_clip).
+* the persistent compilation cache (~/.cache/jax_comp) makes warm runs take
+  ~2 minutes; cold compiles through the device tunnel add ~5 minutes.
 
-The reference publishes no throughput numbers (BASELINE.md), so
 ``vs_baseline`` is an explicit analytic estimate of the PyTorch reference on
-one A100: baseline_pairs_per_sec = 312e12 * 0.35 / (NFE * flops_per_eval/B),
-with FLOPs taken from XLA's cost analysis of this (architecturally identical)
-model.  All inputs are recorded in the JSON for auditability.
+one A100: 312e12 FLOP/s * 0.35 utilization (generous for eager torch with
+Python-loop windowed attention) / total FLOPs per pair.  FLOPs measured once
+via XLA cost analysis of the einsum variants: base 1.468e12/pair-eval,
+SR 20.11e12 per 16-frame eval.
 """
 
 from __future__ import annotations
@@ -32,12 +37,19 @@ import jax
 
 # Persistent compilation cache: compiles through the remote-device transport
 # cost minutes; cache hits are ~instant across processes.
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+os.makedirs(os.path.expanduser("~/.cache/jax_comp"), exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
-BATCH = 8
-NFE = 20
+BATCH = 8  # base-model batch (pairs)
+NFE_BASE = 20
+NFE_SR = 25
+FRAMES = 16
+SR_SIZE = 256
+
+FLOPS_BASE_PER_PAIR_EVAL = 1.468e12  # XLA cost analysis, einsum variant
+FLOPS_SR_PER_CLIP_EVAL = 20.11e12  # 16 frames @256^2, einsum variant
 
 
 def fake_params(model, rngs, *args):
@@ -46,10 +58,31 @@ def fake_params(model, rngs, *args):
     return jax.tree.map(lambda s: jnp.full(s.shape, 0.02, s.dtype), shapes)
 
 
+def time_chained(fn_one, init_carry, n_chain=6, n_outer=2):
+    """Serial per-call latency of ``fn_one(carry) -> carry`` via a scanned
+    chain with a forced scalar readback."""
+
+    def chained(carry):
+        def body(c, _):
+            return fn_one(c), ()
+
+        c, _ = jax.lax.scan(body, carry, None, length=n_chain)
+        return sum(jnp.mean(l) for l in jax.tree_util.tree_leaves(c))
+
+    compiled = jax.jit(chained)
+    _ = jax.device_get(compiled(init_carry))  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(n_outer):
+        _ = jax.device_get(compiled(init_carry))
+    return (time.perf_counter() - t0) / (n_outer * n_chain)
+
+
 def main():
-    from mm_diffusion_tpu.configs import create_gaussian_diffusion, create_model_config
+    from mm_diffusion_tpu.configs import create_image_sr_config, create_model_config
+    from mm_diffusion_tpu.models.image_unet import ImageSuperResModel
     from mm_diffusion_tpu.models.mm_unet import MultimodalUNet
 
+    # -- base model ------------------------------------------------------------
     cfg = create_model_config(
         video_size="16,3,64,64",
         audio_size="1,25600",
@@ -70,85 +103,67 @@ def main():
     ca, l = cfg.audio_size
     rngs = {"params": jax.random.PRNGKey(0), "shift": jax.random.PRNGKey(1)}
     variables = fake_params(
-        model,
-        rngs,
-        jnp.zeros((1, f, h, w, c)),
-        jnp.zeros((1, l, ca)),
-        jnp.zeros((1,), jnp.int32),
+        model, rngs,
+        jnp.zeros((1, f, h, w, c)), jnp.zeros((1, l, ca)), jnp.zeros((1,), jnp.int32),
     )
-
     video = jax.random.normal(jax.random.PRNGKey(3), (BATCH, f, h, w, c))
     audio = jax.random.normal(jax.random.PRNGKey(4), (BATCH, l, ca))
     t = jnp.zeros((BATCH,), jnp.int32)
 
-    # Timing protocol: chain N serially-dependent forwards inside one jit
-    # (each step consumes the previous output) and force a host readback of a
-    # scalar.  This measures true serial per-eval latency — plain python loops
-    # with block_until_ready under-report on this platform's async runtime.
-    N_CHAIN = 8
+    def base_eval(carry):
+        v, a = carry
+        vo, ao = model.apply(variables, v, a, t, rngs={"shift": jax.random.PRNGKey(2)})
+        return (v * 0.99 + 0.1 * vo.astype(v.dtype), a * 0.99 + 0.1 * ao.astype(a.dtype))
 
-    def chained(video, audio, t):
-        def body(carry, _):
-            v, a = carry
-            vo, ao = model.apply(
-                variables, v, a, t, rngs={"shift": jax.random.PRNGKey(2)}
-            )
-            # feed outputs back in (eps prediction -> next state surrogate)
-            return (v * 0.99 + 0.1 * vo.astype(v.dtype),
-                    a * 0.99 + 0.1 * ao.astype(a.dtype)), ()
-        (v, a), _ = jax.lax.scan(body, (video, audio), None, length=N_CHAIN)
-        return jnp.mean(v) + jnp.mean(a)
+    base_s = time_chained(base_eval, (video, audio), n_chain=6)
+    base_ms = base_s * 1000.0
+    base_s_per_pair = base_s / BATCH
 
-    compiled = jax.jit(chained).lower(video, audio, t).compile()
-    # NOTE: XLA cost analysis does not count FLOPs inside Pallas custom calls
-    # (the flash-attention kernels), so the per-eval FLOPs here is a recorded
-    # constant measured once from the pure-XLA einsum variant of this exact
-    # model config (5.873e12 for batch 4 => 1.468e12 per AV pair eval).
-    flops_per_pair_eval = 1.468e12
+    # -- SR model (per clip: 16 frames @ 256^2) ---------------------------------
+    sr_cfg = create_image_sr_config(
+        large_size=SR_SIZE, small_size=64, sr_num_channels=192, sr_num_res_blocks=2,
+        sr_attention_resolutions="32,16,8", sr_learn_sigma=True,
+        sr_num_head_channels=64, sr_use_scale_shift_norm=True,
+        sr_resblock_updown=True, use_fp16=True,
+    )
+    sr_model = ImageSuperResModel(sr_cfg)
+    sr_x = jax.random.normal(jax.random.PRNGKey(5), (FRAMES, SR_SIZE, SR_SIZE, 3))
+    sr_low = jax.random.normal(jax.random.PRNGKey(6), (FRAMES, 64, 64, 3))
+    sr_t = jnp.zeros((FRAMES,), jnp.int32)
+    sr_vars = fake_params(
+        sr_model, {"params": jax.random.PRNGKey(7)}, sr_x[:1], sr_t[:1], sr_low[:1]
+    )
 
-    _ = jax.device_get(compiled(video, audio, t))  # warm
-    n_outer = 2
-    t0 = time.perf_counter()
-    for _ in range(n_outer):
-        _ = jax.device_get(compiled(video, audio, t))
-    step_s = (time.perf_counter() - t0) / (n_outer * N_CHAIN)
-    step_ms = step_s * 1000.0
+    def sr_eval(carry):
+        out = sr_model.apply(sr_vars, carry, sr_t, sr_low)
+        return carry * 0.9 + 0.1 * out[..., :3].astype(carry.dtype)
 
-    pairs_per_sec = BATCH / (NFE * step_s)
-    measured_full = None
+    sr_s = time_chained(sr_eval, sr_x, n_chain=4)
+    sr_ms = sr_s * 1000.0
 
-    if os.environ.get("BENCH_FULL"):
-        from mm_diffusion_tpu.sampling import build_base_sampler
-
-        diffusion = create_gaussian_diffusion(steps=1000)
-        sampler = build_base_sampler(
-            model, diffusion, variables["params"], "dpm_solver++", steps=NFE
-        )
-        sample_jit = jax.jit(lambda r: sampler(r, BATCH))
-        outs = sample_jit(jax.random.PRNGKey(5))
-        jax.block_until_ready(outs)
-        t0 = time.perf_counter()
-        for i in range(3):
-            outs = sample_jit(jax.random.PRNGKey(6 + i))
-        jax.block_until_ready(outs)
-        measured_full = BATCH / ((time.perf_counter() - t0) / 3)
+    # -- combine -----------------------------------------------------------------
+    t_per_pair = NFE_BASE * base_s_per_pair + NFE_SR * sr_s
+    pairs_per_sec = 1.0 / t_per_pair
+    base_only_pairs_per_sec = 1.0 / (NFE_BASE * base_s_per_pair)
 
     a100_flops, util = 312e12, 0.35
-    baseline = a100_flops * util / (NFE * flops_per_pair_eval)
+    flops_per_pair = NFE_BASE * FLOPS_BASE_PER_PAIR_EVAL + NFE_SR * FLOPS_SR_PER_CLIP_EVAL
+    baseline = a100_flops * util / flops_per_pair
     vs_baseline = pairs_per_sec / baseline
 
     print(
         json.dumps(
             {
-                "metric": "AV pairs/sec/chip (64x64x16f base sampling, 20-NFE DPM-Solver)",
+                "metric": "AV pairs/sec/chip (64x64x16f base 20-NFE + 64->256 SR ddim25)",
                 "value": round(pairs_per_sec, 4),
                 "unit": "pairs/sec",
                 "vs_baseline": round(vs_baseline, 3),
                 "detail": {
-                    "denoise_step_ms_b8": round(step_ms, 2),
-                    "per_pair_denoise_step_ms": round(step_ms / BATCH, 3),
-                    "flops_per_pair_eval": flops_per_pair_eval,
-                    "measured_full_sampler_pairs_per_sec": measured_full,
+                    "base_denoise_step_ms_b8": round(base_ms, 2),
+                    "base_only_pairs_per_sec": round(base_only_pairs_per_sec, 4),
+                    "sr_eval_ms_16f_256": round(sr_ms, 2),
+                    "sr_seconds_per_clip_ddim25": round(NFE_SR * sr_s, 3),
+                    "flops_per_pair_total": flops_per_pair,
                     "baseline": "analytic A100 fp16 estimate (312e12 * 0.35 util)",
                     "baseline_pairs_per_sec": round(baseline, 4),
                     "device": str(jax.devices()[0]),
