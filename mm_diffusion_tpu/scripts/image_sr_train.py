@@ -84,6 +84,34 @@ def real_sr_data(data_dir: str, batch_size: int, large: int, small: int,
         yield {"high_res": np.stack(hrs), "low_res": np.stack(lrs)}
 
 
+def save_sr_preview(model, diffusion, params, batch, out_path, steps=25, seed=0):
+    """sr|sample|hr triptych dump (parity: save_sr, train_util.py:566-671):
+    bicubic low-res upsample | model sample | ground truth, tiled side by side."""
+    import cv2
+
+    from ..data import media
+    from ..sampling import build_sr_sampler
+    from ..configs import create_gaussian_diffusion as _cgd
+
+    sr_diffusion = _cgd(
+        steps=1000, learn_sigma=(model.cfg.out_channels == 6),
+        timestep_respacing=f"ddim{steps}",
+    )
+    sampler = jax.jit(
+        build_sr_sampler(model, sr_diffusion, params, "ddim", steps=steps)
+    )
+    low = jnp.asarray(batch["low_res"][:4])
+    hr = np.asarray(batch["high_res"][:4])
+    sample = np.asarray(jax.device_get(sampler(jax.random.PRNGKey(seed), low)))
+    large = hr.shape[1]
+    bic = np.stack([
+        cv2.resize(np.asarray(l), (large, large), interpolation=cv2.INTER_CUBIC)
+        for l in np.asarray(low)
+    ])
+    rows = [np.concatenate([bic[i], sample[i], hr[i]], axis=1) for i in range(len(hr))]
+    media.save_image(np.concatenate(rows, axis=0), out_path)
+
+
 def create_argparser():
     defaults = dict(
         data_dir="synthetic",
@@ -195,6 +223,14 @@ def main(argv=None):
             log.dumpkvs()
         if step % args.save_interval == 0:
             ckpt_lib.save_checkpoint(ckpt_dir, jax.device_get(state))
+            try:
+                ema_key = next(iter(state.ema))
+                save_sr_preview(
+                    model, diffusion, state.ema[ema_key], jax.device_get(batch),
+                    f"{args.output_dir}/previews/step_{step:06d}.png",
+                )
+            except Exception as e:  # previews must never kill training
+                log.log(f"sr preview failed: {e}")
     ckpt_lib.save_checkpoint(ckpt_dir, jax.device_get(state))
 
 

@@ -173,3 +173,29 @@ def test_audio2video_cli(tmp_path):
         ]
     )
     assert glob.glob(str(tmp_path / "a2v_*"))
+
+
+def test_sr_preview_triptych(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from mm_diffusion_tpu.configs import create_image_sr_config
+    from mm_diffusion_tpu.models.image_unet import ImageSuperResModel
+    from mm_diffusion_tpu.scripts.image_sr_train import save_sr_preview, synthetic_sr_data
+
+    import dataclasses
+
+    cfg = create_image_sr_config(
+        large_size=64, sr_num_channels=16, sr_num_res_blocks=1,
+        sr_attention_resolutions="8", sr_learn_sigma=True, dtype="float32",
+    )
+    cfg = dataclasses.replace(cfg, image_size=16, channel_mult=(1, 2))
+    model = ImageSuperResModel(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 16, 16, 3)), jnp.zeros((1,), jnp.int32), jnp.zeros((1, 8, 8, 3)),
+    )
+    batch = next(synthetic_sr_data(4, 16, 8))
+    out = str(tmp_path / "trip.png")
+    save_sr_preview(model, None, variables["params"], batch, out, steps=5)
+    assert os.path.getsize(out) > 0
