@@ -78,21 +78,25 @@ class TokenSelfAttention(nn.Module):
             3 * self.channels, dtype=self.dtype, param_dtype=jnp.float32, name="qkv"
         )(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        from ..ops.fused_attention import flash_mha
+        from ..ops.fused_attention import flash_mha_bhtd
 
-        out = flash_mha(
-            _split_heads(q, self.num_heads),
-            _split_heads(k, self.num_heads),
-            _split_heads(v, self.num_heads),
+        # heads-major layout through the kernel; the output projection
+        # contracts (H, D) directly from [B, H, T, D] (DenseGeneral), fusing
+        # the head-merge transpose into the matmul instead of a layout copy.
+        out = flash_mha_bhtd(
+            jnp.swapaxes(_split_heads(q, self.num_heads), -3, -2),
+            jnp.swapaxes(_split_heads(k, self.num_heads), -3, -2),
+            jnp.swapaxes(_split_heads(v, self.num_heads), -3, -2),
         )
-        out = nn.Dense(
-            self.channels,
+        out = nn.DenseGeneral(
+            features=self.channels,
+            axis=(-3, -1),
             dtype=self.dtype,
             param_dtype=jnp.float32,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
             name="proj_out",
-        )(_merge_heads(out))
+        )(out)
         return x + out
 
 
@@ -186,34 +190,37 @@ class RSMMACrossAttention(nn.Module):
             g = jnp.take(t, win, axis=1)  # [B, F, lw, T, h, d]
             return g.reshape(b, f, -1, *t.shape[-2:])
 
-        from ..ops.fused_attention import flash_mha
+        from ..ops.fused_attention import flash_mha_bhtd
 
         def framed_attention(q, k, v):
-            # [B, F, T, h, d] -> flash over a (B*F) batch of per-frame windows
+            # [B, F, T, h, d] -> flash over a (B*F) batch of per-frame
+            # windows, heads-major through the kernel -> [B, F, h, T, d]
             bq, fq, tq, hh, dd = q.shape
             tk = k.shape[2]
-            out = flash_mha(
-                q.reshape(bq * fq, tq, hh, dd),
-                k.reshape(bq * fq, tk, hh, dd),
-                v.reshape(bq * fq, tk, hh, dd),
+            out = flash_mha_bhtd(
+                q.reshape(bq * fq, tq, hh, dd).swapaxes(1, 2),
+                k.reshape(bq * fq, tk, hh, dd).swapaxes(1, 2),
+                v.reshape(bq * fq, tk, hh, dd).swapaxes(1, 2),
             )
-            return out.reshape(bq, fq, tq, hh, dd)
+            return out.reshape(bq, fq, hh, tq, dd)
 
         # video queries x audio keys/values
         v_out = framed_attention(vq, gather_window(ak), gather_window(av))
         # audio queries x video keys/values
         a_out = framed_attention(aq, gather_window(vk), gather_window(vv))
 
+        # output projections contract (H, D) straight from the heads-major
+        # attention output (DenseGeneral) — no head-merge layout copy.
         zero_dense = dict(
+            features=self.channels,
+            axis=(-3, -1),
             dtype=self.dtype,
             param_dtype=jnp.float32,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
         )
-        v_out = nn.Dense(self.channels, name="video_proj_out", **zero_dense)(
-            v_out.reshape(b, f, h, w, c)
-        )
-        a_out = nn.Dense(self.channels, name="audio_proj_out", **zero_dense)(
-            a_out.reshape(b, l, c)
-        )
+        v_out = nn.DenseGeneral(name="video_proj_out", **zero_dense)(v_out)
+        a_out = nn.DenseGeneral(name="audio_proj_out", **zero_dense)(a_out)
+        v_out = v_out.reshape(b, f, h, w, c)
+        a_out = a_out.reshape(b, l, c)
         return video + v_out, audio + a_out

@@ -49,25 +49,39 @@ def _use_flash(t_q: int, t_k: int, d: int) -> bool:
         return False
     if jax.default_backend() != "tpu":
         return False
-    # only profitable for real sequence lengths; tiny T wastes a kernel launch
-    return t_q >= _BLOCK and t_k >= _BLOCK // 2 and d <= 256
+    # Profitable whenever the materialized [t_q, t_k] logits would be large
+    # (the einsum path writes them to HBM in fp32); short ragged q (the
+    # audio-side RS-MMA queries, e.g. 100 tokens vs 1024 keys) pads to one
+    # 128 block and still wins by a wide margin.
+    return t_q * t_k >= 32768 and t_q >= 16 and d <= 256
 
 
 def flash_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Multi-head attention over ``[B, T, H, D]`` tensors (same contract as
     `models.attention.qkv_attention`), flash-fused on TPU when profitable."""
-    from ..models.attention import qkv_attention
-
     b, t_q, h, d = q.shape
-    t_k = k.shape[1]
+    out = flash_mha_bhtd(
+        jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2)
+    )
+    return jnp.swapaxes(out, 1, 2)
+
+
+def flash_mha_bhtd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Multi-head attention over ``[B, H, T, D]`` tensors (kernel-native
+    layout — callers that keep heads-major avoid a materialized transpose on
+    each side of the custom call)."""
+    b, h, t_q, d = q.shape
+    t_k = k.shape[2]
     if not _use_flash(t_q, t_k, d):
-        return qkv_attention(q, k, v)
+        from ..models.attention import qkv_attention
+
+        out = qkv_attention(
+            jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2)
+        )
+        return jnp.swapaxes(out, 1, 2)
 
     sm_scale = 1.0 / math.sqrt(d)
-    # [B, T, H, D] -> [B, H, T, D]
-    qt = jnp.swapaxes(q, 1, 2)
-    kt = jnp.swapaxes(k, 1, 2)
-    vt = jnp.swapaxes(v, 1, 2)
+    qt, kt, vt = q, k, v
 
     q_pad = _pad_to(qt, 2, _BLOCK)
     k_pad = _pad_to(kt, 2, _BLOCK)
@@ -110,5 +124,4 @@ def flash_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
         sm_scale=sm_scale,
         block_sizes=block_sizes,
     )
-    out = out[:, :, :t_q].astype(v.dtype)
-    return jnp.swapaxes(out, 1, 2)
+    return out[:, :, :t_q].astype(v.dtype)

@@ -100,8 +100,17 @@ def _groupnorm(sd: _SD, prefix: str) -> Dict[str, Any]:
     }
 
 
-def _token_attention(sd: _SD, prefix: str) -> Dict[str, Any]:
-    """SingleModalAtten -> TokenSelfAttention (qkv/proj 1x1 convs -> Dense).
+def _headed_proj(w, heads):
+    """1x1-conv projection weight [C_out, C_in, 1] -> DenseGeneral kernel
+    [H, D, C_out] (the flax side contracts heads-major attention outputs)."""
+    dense = _dense_from_conv1x1(w)  # [C_in, C_out]
+    c_in, c_out = dense.shape
+    return dense.reshape(heads, c_in // heads, c_out)
+
+
+def _token_attention(sd: _SD, prefix: str, heads: int) -> Dict[str, Any]:
+    """SingleModalAtten -> TokenSelfAttention (qkv 1x1 conv -> Dense; proj
+    1x1 conv -> heads-major DenseGeneral).
 
     Channel layouts agree: both split qkv into thirds then heads
     (SingleModalQKVAttention views (bs*heads, ch, T) from the concatenated
@@ -113,7 +122,7 @@ def _token_attention(sd: _SD, prefix: str) -> Dict[str, Any]:
             "bias": sd(f"{prefix}.qkv.bias"),
         },
         "proj_out": {
-            "kernel": _dense_from_conv1x1(sd(f"{prefix}.proj_out.weight")),
+            "kernel": _headed_proj(sd(f"{prefix}.proj_out.weight"), heads),
             "bias": sd(f"{prefix}.proj_out.bias"),
         },
     }
@@ -139,15 +148,15 @@ def _resblock(sd: _SD, prefix: str, spec: ResBlockSpec, cfg: MMUNetConfig) -> Di
         out["audio_skip"] = _audio_conv(sd, f"{prefix}.audio_skip_connection")
     if spec.video_attention:
         out["video_attn"] = {
-            "spatial": _token_attention(sd, f"{prefix}.spatial_attention_block"),
-            "temporal": _token_attention(sd, f"{prefix}.temporal_attention_block"),
+            "spatial": _token_attention(sd, f"{prefix}.spatial_attention_block", cfg.num_heads),
+            "temporal": _token_attention(sd, f"{prefix}.temporal_attention_block", cfg.num_heads),
         }
     if spec.audio_attention:
-        out["audio_attn"] = _token_attention(sd, f"{prefix}.audio_attention_block")
+        out["audio_attn"] = _token_attention(sd, f"{prefix}.audio_attention_block", cfg.num_heads)
     return out
 
 
-def _cross_attention(sd: _SD, prefix: str) -> Dict[str, Any]:
+def _cross_attention(sd: _SD, prefix: str, heads: int) -> Dict[str, Any]:
     return {
         "v_norm": _groupnorm(sd, f"{prefix}.v_norm.GroupNorm"),
         "a_norm": _groupnorm(sd, f"{prefix}.a_norm.GroupNorm"),
@@ -160,11 +169,11 @@ def _cross_attention(sd: _SD, prefix: str) -> Dict[str, Any]:
             "bias": sd(f"{prefix}.a_qkv.bias"),
         },
         "video_proj_out": {
-            "kernel": _dense_from_conv1x1(sd(f"{prefix}.video_proj_out.video_conv.weight")),
+            "kernel": _headed_proj(sd(f"{prefix}.video_proj_out.video_conv.weight"), heads),
             "bias": sd(f"{prefix}.video_proj_out.video_conv.bias"),
         },
         "audio_proj_out": {
-            "kernel": _dense_from_conv1x1(sd(f"{prefix}.audio_proj_out.audio_conv.weight")),
+            "kernel": _headed_proj(sd(f"{prefix}.audio_proj_out.audio_conv.weight"), heads),
             "bias": sd(f"{prefix}.audio_proj_out.audio_conv.bias"),
         },
     }
@@ -204,7 +213,9 @@ def convert_mm_unet_state_dict(state_dict: Dict[str, Any], cfg: MMUNetConfig):
                 elif isinstance(spec, ResBlockSpec):
                     params[f"{stage_name}_{i}_{j}_res"] = _resblock(sd, tprefix, spec, cfg)
                 elif isinstance(spec, CrossAttnSpec):
-                    params[f"{stage_name}_{i}_{j}_xattn"] = _cross_attention(sd, tprefix)
+                    params[f"{stage_name}_{i}_{j}_xattn"] = _cross_attention(
+                        sd, tprefix, spec.heads
+                    )
 
     convert_stage("enc", plan.encoder, "input_blocks")
     convert_stage("mid", [plan.middle], "middle_blocks")
