@@ -65,3 +65,47 @@ def enable_debug_mode(nans: bool = True, disable_jit: bool = False):
         jax.config.update("jax_debug_nans", True)
     if disable_jit:
         jax.config.update("jax_disable_jit", True)
+
+
+def parse_trace(trace_dir: str, top_n: int = 20):
+    """Parse a `jax.profiler` trace directory into a per-op-category time
+    breakdown (device plane, `%while` wrappers excluded).
+
+    Uses the public XPlane schema vendored under ``utils/protos`` (the
+    installed tensorboard profile plugin's converter is unusable here).
+    Returns ``[(category, total_ms, count), ...]`` sorted by time.
+    """
+    import glob as _glob
+    from collections import Counter
+
+    from .protos import xplane_pb2
+
+    files = _glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
+    assert files, f"no xplane.pb under {trace_dir}"
+    xs = xplane_pb2.XSpace()
+    with open(files[0], "rb") as f:
+        xs.ParseFromString(f.read())
+    planes = [p for p in xs.planes if "TPU" in p.name or "GPU" in p.name]
+    if not planes:
+        planes = [p for p in xs.planes if p.lines]
+    plane = planes[0]
+    ev_names = {i: m.name for i, m in plane.event_metadata.items()}
+    lines = [l for l in plane.lines if l.name == "XLA Ops"] or plane.lines
+
+    def bucket(name: str) -> str:
+        rhs = name.split(" = ")[1] if " = " in name else name
+        if "custom-call" in rhs:
+            return "custom-call (pallas)"
+        head = name.split(" = ")[0].lstrip("%")
+        return head.split(".")[0][:40]
+
+    tot, cnt = Counter(), Counter()
+    for line in lines:
+        for ev in line.events:
+            nm = ev_names.get(ev.metadata_id, "?")
+            if nm.startswith("%while"):
+                continue
+            b = bucket(nm)
+            tot[b] += ev.duration_ps
+            cnt[b] += 1
+    return [(k, ps / 1e9, cnt[k]) for k, ps in tot.most_common(top_n)]

@@ -152,3 +152,19 @@ def test_image_sr_degradations(tmp_path):
     hr = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
     lr = degrade_lr(hr, 16, random.Random(0))
     assert lr.shape == (16, 16, 3)
+
+
+def test_parse_trace_on_cpu(tmp_path):
+    """Trace capture + xplane parsing works end-to-end (CPU plane)."""
+    from mm_diffusion_tpu.utils.profiling import parse_trace, trace
+
+    @jax.jit
+    def f(x):
+        return jnp.tanh(x @ x).sum()
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (256, 256))
+    _ = f(x).block_until_ready()
+    with trace(str(tmp_path)):
+        _ = f(x).block_until_ready()
+    rows = parse_trace(str(tmp_path), top_n=5)
+    assert rows and all(len(r) == 3 for r in rows)
