@@ -4,11 +4,13 @@ from .mesh import (
     FSDP_AXIS,
     batch_sharding,
     batch_spec,
+    is_fsdp_sharded,
     make_mesh,
     params_shardings,
     process_data_shard,
     replicated,
     shard_batch,
+    state_shardings,
 )
 
 __all__ = [
@@ -18,9 +20,11 @@ __all__ = [
     "FSDP_AXIS",
     "batch_sharding",
     "batch_spec",
+    "is_fsdp_sharded",
     "make_mesh",
     "params_shardings",
     "process_data_shard",
     "replicated",
     "shard_batch",
+    "state_shardings",
 ]

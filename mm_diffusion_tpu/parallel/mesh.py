@@ -37,9 +37,17 @@ def make_mesh(
     divided by ``n_fsdp``.  On a single chip this degenerates to (1, 1)."""
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        assert len(devices) % n_fsdp == 0
+        if len(devices) % n_fsdp != 0:
+            raise ValueError(
+                f"n_fsdp={n_fsdp} must divide the device count "
+                f"({len(devices)} visible: {[d.platform for d in devices[:4]]}...)"
+            )
         n_data = len(devices) // n_fsdp
-    assert n_data * n_fsdp <= len(devices)
+    if n_data * n_fsdp > len(devices):
+        raise ValueError(
+            f"mesh {n_data}x{n_fsdp} needs {n_data * n_fsdp} devices but only "
+            f"{len(devices)} are visible"
+        )
     dev_array = np.asarray(devices[: n_data * n_fsdp]).reshape(n_data, n_fsdp)
     return Mesh(dev_array, (DATA_AXIS, FSDP_AXIS))
 
@@ -82,6 +90,30 @@ def params_shardings(params, mesh: Mesh, min_size_to_shard: int = 2**18):
     return jax.tree.map(
         lambda l: NamedSharding(mesh, param_spec(l, fsdp_size, min_size_to_shard)), params
     )
+
+
+def state_shardings(state, mesh: Mesh, min_size_to_shard: int = 2**18):
+    """Shardings for a whole TrainState pytree: every large array leaf
+    (params, EMA copies, Adam mu/nu — they all share parameter shapes) is
+    sharded over the fsdp axis by the `param_spec` rule; scalars and small
+    leaves are replicated.  This is the ZeRO-3-style layout the reference
+    lacks entirely (SURVEY §2.5: full replica per rank)."""
+    fsdp_size = mesh.shape[FSDP_AXIS]
+    return jax.tree.map(
+        lambda l: NamedSharding(mesh, param_spec(l, fsdp_size, min_size_to_shard)), state
+    )
+
+
+def is_fsdp_sharded(tree) -> bool:
+    """True if any leaf of ``tree`` is actually partitioned over the fsdp
+    axis (used by tests / the driver dryrun to prove ZeRO-3 is live)."""
+    for leaf in jax.tree_util.tree_leaves(tree):
+        sh = getattr(leaf, "sharding", None)
+        if sh is not None and isinstance(sh, NamedSharding):
+            if any(FSDP_AXIS in (ax if isinstance(ax, tuple) else (ax,))
+                   for ax in sh.spec if ax is not None):
+                return True
+    return False
 
 
 def shard_batch(batch, mesh: Mesh):

@@ -52,6 +52,7 @@ def create_argparser():
         audio_fps=16000,
         max_steps=0,
         n_fsdp=1,
+        fsdp_min_size=2**18,  # smallest param (elements) to shard over fsdp
     )
     defaults.update(configs.model_and_diffusion_defaults())
     parser = argparse.ArgumentParser()
@@ -119,6 +120,7 @@ def main(argv=None):
         mesh=mesh,
         seed=args.seed,
         sample_fn=args.sample_fn,
+        min_size_to_shard=args.fsdp_min_size,
     )
     log.log("training...")
     loop.run_loop(max_steps=args.max_steps or None)

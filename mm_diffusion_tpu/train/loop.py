@@ -22,7 +22,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..diffusion.gaussian import GaussianDiffusion
-from ..parallel import make_mesh, replicated, shard_batch
+from ..parallel import (
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+    state_shardings,
+)
 from ..utils import logger as kvlogger
 from . import checkpoint as ckpt_lib
 from .resample import create_named_schedule_sampler
@@ -66,6 +72,7 @@ class TrainLoop:
         save_preview: bool = True,
         preview_samples: int = 4,
         init_params=None,
+        min_size_to_shard: int = 2**18,
     ):
         self.model = model
         self.diffusion = diffusion
@@ -114,12 +121,21 @@ class TrainLoop:
             kvlogger.log(f"resuming from {ckpt_dir} step {latest}")
             state = ckpt_lib.restore_checkpoint(ckpt_dir, state, latest)
 
-        # place replicated state on the mesh (the reference's param broadcast,
-        # dist_util.py:72-78, is just a replicated sharding here)
-        self.state = jax.device_put(state, replicated(self.mesh))
+        # Place the state on the mesh.  With an fsdp axis of size 1 every
+        # leaf resolves to a replicated sharding (the reference's param
+        # broadcast, dist_util.py:72-78); with fsdp>1 params/EMA/Adam
+        # moments shard ZeRO-3 style and XLA inserts the
+        # all-gather / reduce-scatter pair around the step.
+        self._state_sh = state_shardings(state, self.mesh, min_size_to_shard)
+        self.state = jax.device_put(state, self._state_sh)
 
         step_fn = make_train_step(model, diffusion, self.tx, accum_steps=accum_steps)
-        self._train_step = jax.jit(step_fn, donate_argnums=(0,))
+        self._train_step = jax.jit(
+            step_fn,
+            donate_argnums=(0,),
+            in_shardings=(self._state_sh, batch_sharding(self.mesh), None),
+            out_shardings=(self._state_sh, replicated(self.mesh)),
+        )
 
     # ------------------------------------------------------------------
     def run_step(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
