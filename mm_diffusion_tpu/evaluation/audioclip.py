@@ -7,16 +7,19 @@ for FAD (`mm_diffusion/evaluator.py:65,162`).  FAD uses the *unnormalized*
 ``encode_audio`` output (audioclip.py:214-215 raw_audio_features).
 
 Pipeline (AudioCLIP config: n_fft 2048, hop 561, win 1654, blackman-harris,
-normalized FBSP, spec 224x224, embed 1024, attention gates on):
+normalized FBSP, native spec size (spec_height/width = -1, audioclip.py:57-58),
+embed 1024, attention gates on):
   1. scale input from int16 range to [-1, 1] (base.py:605 — note the
      reference evaluator feeds [-1,1] floats into this same scaling; we
      replicate the behavior exactly for parity),
   2. frame the signal (centered zero-pad; utils/transforms.py:19-56),
   3. learned FBSP complex filterbank (fbsp.py:19-117) -> complex spectrogram,
-  4. power -> 3 frequency bands -> bilinear (align_corners) resize to 224^2
-     -> 10*log10 (base.py:576-618),
+  4. power -> 3 frequency bands (NO resize at the evaluator config; bilinear
+     align_corners resize only when spec_height/width > 0) -> 10*log10
+     (base.py:575-618),
   5. ResNeXt-50 (32x4d) with multiplicative attention gates
-     (base.py:169-421, attention.py) -> fc -> 1024-d embedding.
+     (base.py:169-421, attention.py), per-audio-channel, pooled features
+     summed over channels -> fc -> 1024-d embedding (base.py:620-637).
 
 Weights convert from the published ``AudioCLIP-Full-Training.pt`` via
 :func:`convert_audioclip_audio_tower` (``audio.*`` keys).
@@ -104,14 +107,30 @@ def fbsp_weights(m: jnp.ndarray, fb: jnp.ndarray, fc: jnp.ndarray,
     return w_re, w_im
 
 
+def _adaptive_axis_max(x: jnp.ndarray, axis: int, out_size: int) -> jnp.ndarray:
+    """Max-reduce one axis to ``out_size`` with torch AdaptiveMaxPool window
+    semantics: window i spans [floor(i*n/o), ceil((i+1)*n/o))."""
+    n = x.shape[axis]
+    if n == out_size:
+        return x
+    starts = (np.arange(out_size) * n) // out_size
+    ends = -(-((np.arange(out_size) + 1) * n) // out_size)  # ceil
+    width = int((ends - starts).max())
+    # gather indices clipped to each window's end (duplicates are no-ops for max)
+    idx = starts[:, None] + np.arange(width)[None, :]
+    idx = np.minimum(idx, ends[:, None] - 1)  # [out, width]
+    g = jnp.take(x, jnp.asarray(idx.reshape(-1)), axis=axis)
+    new_shape = list(x.shape)
+    new_shape[axis : axis + 1] = [out_size, width]
+    return g.reshape(new_shape).max(axis=axis + 1)
+
+
 def adaptive_max_pool(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
-    """Exact adaptive max pool for divisor output sizes, NHWC
-    (the attention gates only ever pool 56->56/28, 28->14, 14->7, 7->1)."""
-    b, h, w, c = x.shape
-    oh, ow = out_hw
-    assert h % oh == 0 and w % ow == 0, (h, w, oh, ow)
-    kh, kw = h // oh, w // ow
-    return nn.max_pool(x, window_shape=(kh, kw), strides=(kh, kw))
+    """torch ``F.adaptive_max_pool2d`` on NHWC (windows are cartesian products
+    of per-axis intervals, so the max is separable)."""
+    x = _adaptive_axis_max(x, 1, out_hw[0])
+    x = _adaptive_axis_max(x, 2, out_hw[1])
+    return x
 
 
 def resize_bilinear_align_corners(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
@@ -222,14 +241,23 @@ class ESResNeXtFBSP(nn.Module):
 
     Input ``[B, C_audio, L]`` (the reference's layout), output ``[B, 1024]``
     unnormalized embeddings (== raw_audio_features for FAD).
+
+    ``spec_height/spec_width`` default to -1 — the AudioCLIP evaluator config
+    (model/audioclip.py:57-58): the backbone runs on the NATIVE [3, 341, T]
+    band-split spectrogram with no resize (base.py:585-598 only interpolates
+    when the requested size differs).  Audio channels run the backbone
+    independently and their pooled features are summed before the fc head
+    (base.py:620-637 _forward_features/_forward_reduction channel loop).
     """
 
     embed_dim: int = EMBED_DIM
     apply_attention: bool = True
+    spec_height: int = -1
+    spec_width: int = -1
 
     @nn.compact
     def __call__(self, audio):
-        b = audio.shape[0]
+        b, n_ch = audio.shape[0], audio.shape[1]
         # -- front end ---------------------------------------------------------
         x = scale_int16_range(audio.reshape(-1, audio.shape[-1]).astype(jnp.float32))
         window = jnp.asarray(blackmanharris_window(WIN_LENGTH))
@@ -250,15 +278,18 @@ class ESResNeXtFBSP(nn.Module):
         pow_spec = spec_re**2 + spec_im**2
         pow_spec = jnp.swapaxes(pow_spec, -1, -2)
 
-        # split into 3 bands (base.py:568-575)
+        # split into 3 bands (base.py:575-583)
         per_band = n_out // N_BANDS
         pow_spec = pow_spec[:, : per_band * N_BANDS]
-        pow_spec = pow_spec.reshape(b, -1, per_band, pow_spec.shape[-1])  # mono: [B,3,341,T]
-        pow_spec = resize_bilinear_align_corners(pow_spec, SPEC_SIZE, SPEC_SIZE)
+        pow_spec = pow_spec.reshape(b * n_ch, N_BANDS, per_band, pow_spec.shape[-1])
+        sh = per_band if self.spec_height < 1 else self.spec_height
+        sw = pow_spec.shape[-1] if self.spec_width < 1 else self.spec_width
+        if (sh, sw) != pow_spec.shape[-2:]:
+            pow_spec = resize_bilinear_align_corners(pow_spec, sh, sw)
         pow_spec = jnp.where(pow_spec > 0.0, pow_spec, 1e-18)
-        x_db = jnp.log10(pow_spec) * 10.0  # [B, 3, 224, 224]
+        x_db = jnp.log10(pow_spec) * 10.0  # [B*C, 3, H, W]
 
-        # -- backbone (NHWC) ---------------------------------------------------
+        # -- backbone (NHWC), shared params across audio channels --------------
         h = jnp.transpose(x_db, (0, 2, 3, 1))
         h = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False, name="conv1")(h)
         h = FrozenBN(name="bn1")(h)
@@ -291,7 +322,8 @@ class ESResNeXtFBSP(nn.Module):
                 gate_in, (1, 1)
             )
             pooled = pooled * att
-        feat = pooled.reshape(b, -1)
+        # sum pooled features over audio channels, then classify (base.py:630-637)
+        feat = pooled.reshape(b, n_ch, -1).sum(axis=1)
         return nn.Dense(self.embed_dim, name="fc")(feat)
 
 

@@ -22,6 +22,12 @@ def main(argv=None):
     parser.add_argument("--i3d_checkpoint", type=str, default="")
     parser.add_argument("--audioclip_checkpoint", type=str, default="")
     parser.add_argument("--compute_is", action="store_true")
+    parser.add_argument(
+        "--allow_fallback",
+        action="store_true",
+        help="permit pixel/log-mel fallback embedders (relative numbers only; "
+        "NOT the published FVD/KVD/FAD protocol)",
+    )
     args = parser.parse_args(argv)
 
     logger.configure(args.output_dir)
@@ -33,6 +39,7 @@ def main(argv=None):
         audioclip_checkpoint=args.audioclip_checkpoint or None,
         batch_size=args.batch_size,
         compute_is=args.compute_is,
+        allow_fallback=args.allow_fallback,
     )
     print(json.dumps(metrics))
 
