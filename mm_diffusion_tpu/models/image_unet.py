@@ -214,9 +214,14 @@ class ImageUNet(nn.Module):
                     )(h)
                 elif spec == "downsample":
                     if cfg.conv_resample:
+                        # torch Downsample pads 1 symmetric (image_unet.py:
+                        # conv_nd(..., 3, stride=2, padding=1)); flax "SAME"
+                        # would pad (0, 1) at stride 2 — different pixels.
                         h = nn.Conv(
                             h.shape[-1], (3, 3), strides=(2, 2),
-                            name=name + "_down", **conv_kw,
+                            padding=((1, 1), (1, 1)),
+                            dtype=dt, param_dtype=jnp.float32,
+                            name=name + "_down",
                         )(h)
                     else:
                         h = image_downsample(h)

@@ -53,35 +53,9 @@ def synthetic_sr_data(batch_size: int, large: int, small: int, seed: int = 0
         yield {"high_res": np.stack(hrs), "low_res": np.stack(lrs)}
 
 
-def real_sr_data(data_dir: str, batch_size: int, large: int, small: int,
-                 seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
-    """Image-folder SR pairs with bicubic degradation
-    (capability parity: real_image_datasets.py:133-229; the gaussian-noise +
-    JPEG-artifact augmentations apply when enabled)."""
-    import cv2
-    import os
-    import random as pyrandom
-
-    files = []
-    for root, _d, fs in os.walk(data_dir):
-        files += [os.path.join(root, f) for f in fs
-                  if f.lower().endswith((".png", ".jpg", ".jpeg", ".webp"))]
-    assert files, f"no images under {data_dir}"
-    rng = pyrandom.Random(seed)
-    while True:
-        hrs, lrs = [], []
-        for _ in range(batch_size):
-            img = cv2.imread(rng.choice(files))
-            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-            h, w = img.shape[:2]
-            s = min(h, w)
-            y0, x0 = (h - s) // 2, (w - s) // 2
-            img = cv2.resize(img[y0:y0 + s, x0:x0 + s], (large, large),
-                             interpolation=cv2.INTER_CUBIC)
-            lr = cv2.resize(img, (small, small), interpolation=cv2.INTER_CUBIC)
-            hrs.append(img.astype(np.float32) / 127.5 - 1.0)
-            lrs.append(lr.astype(np.float32) / 127.5 - 1.0)
-        yield {"high_res": np.stack(hrs), "low_res": np.stack(lrs)}
+# Real image folders go through data/image.load_sr_data — ONE degradation
+# code path (bicubic + gaussian noise + JPEG artifacts,
+# real_image_datasets.py:133-159 parity), gated by --degrade.
 
 
 def save_sr_preview(model, diffusion, params, batch, out_path, steps=25, seed=0):
@@ -126,6 +100,7 @@ def create_argparser():
         resume_checkpoint="",
         seed=42,
         max_steps=0,
+        degrade=True,  # noise+JPEG LR degradations (real_image_datasets.py:133-159)
     )
     defaults.update(configs.image_sr_model_and_diffusion_defaults())
     parser = argparse.ArgumentParser()
@@ -148,7 +123,16 @@ def main(argv=None):
     if args.data_dir == "synthetic":
         data = synthetic_sr_data(args.batch_size, large, small, args.seed)
     else:
-        data = real_sr_data(args.data_dir, args.batch_size, large, small, args.seed)
+        from ..data.image import load_sr_data
+
+        data = load_sr_data(
+            data_dir=args.data_dir,
+            batch_size=args.batch_size,
+            large_size=large,
+            small_size=small,
+            degrade=args.degrade,
+            seed=args.seed,
+        )
 
     k = jax.random.PRNGKey(args.seed)
     variables = jax.jit(model.init)(
@@ -165,10 +149,28 @@ def main(argv=None):
         num_timesteps=diffusion.num_timesteps,
     )
     ckpt_dir = f"{args.output_dir}/checkpoints"
-    latest = ckpt_lib.latest_checkpoint_step(args.resume_checkpoint or ckpt_dir)
-    if latest is not None:
-        state = ckpt_lib.restore_checkpoint(args.resume_checkpoint or ckpt_dir, state, latest)
-        log.log(f"resumed from step {latest}")
+    if args.resume_checkpoint.endswith((".pt", ".pth", ".ckpt")):
+        # Initialize from a guided-diffusion torch checkpoint — the
+        # reference's PRE_TRAIN_MODELS flow (train_util.py:26,191-216;
+        # ssh_scripts/image_sr_train.sh:10 resumes 64_256_upsampler.pt).
+        from ..train.torch_import import load_torch_image_checkpoint
+
+        pretrain = jax.tree.map(
+            jnp.asarray,
+            load_torch_image_checkpoint(args.resume_checkpoint, model.cfg, super_res=True),
+        )
+        state = state.replace(
+            params=pretrain,
+            ema={r: jax.tree.map(jnp.copy, pretrain) for r in state.ema},
+        )
+        log.log(f"initialized from torch checkpoint {args.resume_checkpoint}")
+    else:
+        latest = ckpt_lib.latest_checkpoint_step(args.resume_checkpoint or ckpt_dir)
+        if latest is not None:
+            state = ckpt_lib.restore_checkpoint(
+                args.resume_checkpoint or ckpt_dir, state, latest
+            )
+            log.log(f"resumed from step {latest}")
 
     mesh = make_mesh()
     state = jax.device_put(state, replicated(mesh))

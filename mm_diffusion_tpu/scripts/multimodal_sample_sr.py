@@ -51,21 +51,39 @@ def create_argparser():
 
 
 def load_model_params(path: str, model, init_rngs, dummy_args):
-    """Load Orbax params or initialize randomly (``path == 'random'``)."""
+    """Load model params from any supported source:
+
+    * ``random`` — fresh init (pipeline smoke tests),
+    * ``*.pt`` / ``*.pth`` / ``*.ckpt`` — reference / guided-diffusion torch
+      checkpoints through the import shims (published weights run unchanged
+      from every CLI — parity: py_scripts' direct torch loads),
+    * anything else — Orbax param snapshot or train-state dir.
+    """
     variables = jax.jit(model.init)(init_rngs, *dummy_args)
     if path == "random":
         return variables["params"]
-    if os.path.isdir(os.path.join(path, "checkpoints")) or os.path.isdir(path):
-        # full train-state dir: restore the first EMA if present, else params
-        try:
-            from ..train.checkpoint import restore_params
-
-            return restore_params(path, variables["params"])
-        except Exception:
-            pass
+    if path.endswith((".pt", ".pth", ".ckpt")):
+        return _load_torch_params(path, model)
     from ..train.checkpoint import restore_params
 
     return restore_params(path, variables["params"])
+
+
+def _load_torch_params(path: str, model):
+    from ..models.image_unet import ImageSuperResModel, ImageUNet
+    from ..models.mm_unet import MultimodalUNet
+    from ..train.torch_import import (
+        load_torch_checkpoint,
+        load_torch_image_checkpoint,
+    )
+
+    if isinstance(model, MultimodalUNet):
+        return load_torch_checkpoint(path, model.cfg)
+    if isinstance(model, ImageSuperResModel):
+        return load_torch_image_checkpoint(path, model.cfg, super_res=True)
+    if isinstance(model, ImageUNet):
+        return load_torch_image_checkpoint(path, model.cfg)
+    raise ValueError(f"no torch import shim for model type {type(model).__name__}")
 
 
 def main(argv=None):

@@ -240,3 +240,188 @@ def load_torch_checkpoint(path: str, cfg: MMUNetConfig):
 
         logger.log(f"torch import: {len(unused)} unused keys (first: {unused[:5]})")
     return params
+
+
+# ---------------------------------------------------------------------------
+# Guided-diffusion image UNet / SuperRes import
+# (reference: image_unet.py:395-715 module tree; the published
+#  64_256_upsampler.pt uses the same guided-diffusion naming —
+#  train_util.py:26 PRE_TRAIN_MODELS, :191-216 _transfer_state_dict)
+# ---------------------------------------------------------------------------
+
+
+def _conv2d(w):  # [O,I,kh,kw] -> [kh,kw,I,O]
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _img_groupnorm(sd: _SD, prefix: str) -> Dict[str, Any]:
+    """ImgGroupNorm is a bare nn.GroupNorm (nn.py:35, Imgnormalization) —
+    keys are `<prefix>.weight/.bias` (no .GroupNorm child like the MM model)."""
+    return {
+        "GroupNorm_0": {
+            "scale": sd(f"{prefix}.weight"),
+            "bias": sd(f"{prefix}.bias"),
+        }
+    }
+
+
+def _legacy_qkv_to_thirds(w, heads):
+    """QKVAttentionLegacy channel order [h0(q k v), h1(q k v), ...] ->
+    thirds-major [q(all heads), k(all heads), v(all heads)]
+    (image AttentionBlock defaults to the legacy order,
+    image_unet.py:288-292 use_new_attention_order=False)."""
+    out_ch, in_ch = w.shape[0], w.shape[1]
+    d = out_ch // (3 * heads)
+    w = w.reshape(heads, 3, d, in_ch)
+    w = np.transpose(w, (1, 0, 2, 3)).reshape(out_ch, in_ch)
+    return w
+
+
+def _image_attention(sd: _SD, prefix: str, heads: int) -> Dict[str, Any]:
+    qkv_w = sd(f"{prefix}.qkv.weight")  # [3HD, C, 1]
+    qkv_b = sd(f"{prefix}.qkv.bias")
+    qkv_w = _legacy_qkv_to_thirds(qkv_w.reshape(qkv_w.shape[0], qkv_w.shape[1]), heads)
+    d = qkv_b.shape[0] // (3 * heads)
+    qkv_b = qkv_b.reshape(heads, 3, d).transpose(1, 0, 2).reshape(-1)
+    # ImageAttention wraps TokenSelfAttention as an (auto-named) child module
+    return {
+        "TokenSelfAttention_0": {
+            "norm": _img_groupnorm(sd, f"{prefix}.norm"),
+            "qkv": {"kernel": np.transpose(qkv_w, (1, 0)), "bias": qkv_b},
+            "proj_out": {
+                "kernel": _headed_proj(sd(f"{prefix}.proj_out.weight"), heads),
+                "bias": sd(f"{prefix}.proj_out.bias"),
+            },
+        }
+    }
+
+
+def _image_resblock(sd: _SD, prefix: str, in_ch: int, out_ch: int) -> Dict[str, Any]:
+    out: Dict[str, Any] = {
+        "norm_in": _img_groupnorm(sd, f"{prefix}.in_layers.0"),
+        "conv_in": {
+            "kernel": _conv2d(sd(f"{prefix}.in_layers.2.weight")),
+            "bias": sd(f"{prefix}.in_layers.2.bias"),
+        },
+        "emb_proj": {
+            "kernel": _dense(sd(f"{prefix}.emb_layers.1.weight")),
+            "bias": sd(f"{prefix}.emb_layers.1.bias"),
+        },
+        "norm_out": _img_groupnorm(sd, f"{prefix}.out_layers.0"),
+        "conv_out": {
+            "kernel": _conv2d(sd(f"{prefix}.out_layers.3.weight")),
+            "bias": sd(f"{prefix}.out_layers.3.bias"),
+        },
+    }
+    if out_ch != in_ch:
+        out["skip"] = {
+            "kernel": _conv2d(sd(f"{prefix}.skip_connection.weight")),
+            "bias": sd(f"{prefix}.skip_connection.bias"),
+        }
+    return out
+
+
+def convert_image_unet_state_dict(state_dict: Dict[str, Any], cfg):
+    """Guided-diffusion / reference image UNet state dict -> flax params for
+    :class:`mm_diffusion_tpu.models.image_unet.ImageUNet`.
+
+    Works for both plain ImageUnet checkpoints and ImageSuperResModel ones
+    (the SR model IS the UNet with doubled in_channels, image_unet.py:700-710).
+    Returns ``(params, unused_keys)``.
+    """
+    from ..models.image_unet import _RB, build_image_plan
+
+    sd = _SD(state_dict)
+    encoder, middle, decoder, _ = build_image_plan(cfg)
+    params: Dict[str, Any] = {}
+
+    params["time_embed"] = {
+        "Dense_0": {
+            "kernel": _dense(sd("time_embed.0.weight")),
+            "bias": sd("time_embed.0.bias"),
+        },
+        "Dense_1": {
+            "kernel": _dense(sd("time_embed.2.weight")),
+            "bias": sd("time_embed.2.bias"),
+        },
+    }
+    if cfg.num_classes is not None and "label_emb.weight" in sd.sd:
+        params["label_emb"] = {"embedding": sd("label_emb.weight")}
+
+    for i, specs in enumerate(encoder):
+        for j, spec in enumerate(specs):
+            name = f"enc_{i}_{j}"
+            if spec == "initial":
+                params[name + "_conv"] = {
+                    "kernel": _conv2d(sd("input_blocks.0.0.weight")),
+                    "bias": sd("input_blocks.0.0.bias"),
+                }
+            elif spec == "downsample":
+                params[name + "_down"] = {
+                    "kernel": _conv2d(sd(f"input_blocks.{i}.0.op.weight")),
+                    "bias": sd(f"input_blocks.{i}.0.op.bias"),
+                }
+            elif isinstance(spec, _RB):
+                params[name + "_res"] = _image_resblock(
+                    sd, f"input_blocks.{i}.0", spec.in_ch, spec.out_ch
+                )
+                if spec.attn_heads:
+                    params[name + "_attn"] = _image_attention(
+                        sd, f"input_blocks.{i}.1", spec.attn_heads
+                    )
+
+    params["mid_0_0_res"] = _image_resblock(
+        sd, "middle_block.0", middle[0].in_ch, middle[0].out_ch
+    )
+    params["mid_0_0_attn"] = _image_attention(sd, "middle_block.1", middle[0].attn_heads)
+    params["mid_0_1_res"] = _image_resblock(
+        sd, "middle_block.2", middle[1].in_ch, middle[1].out_ch
+    )
+
+    for i, specs in enumerate(decoder):
+        tsub = 0
+        for j, spec in enumerate(specs):
+            name = f"dec_{i}_{j}"
+            if spec == "upsample":
+                params[name + "_up"] = {
+                    "kernel": _conv2d(sd(f"output_blocks.{i}.{tsub}.conv.weight")),
+                    "bias": sd(f"output_blocks.{i}.{tsub}.conv.bias"),
+                }
+                tsub += 1
+            elif isinstance(spec, _RB):
+                params[name + "_res"] = _image_resblock(
+                    sd, f"output_blocks.{i}.{tsub}", spec.in_ch, spec.out_ch
+                )
+                tsub += 1
+                if spec.attn_heads:
+                    params[name + "_attn"] = _image_attention(
+                        sd, f"output_blocks.{i}.{tsub}", spec.attn_heads
+                    )
+                    tsub += 1
+
+    params["out_norm"] = _img_groupnorm(sd, "out.0")
+    params["out_conv"] = {
+        "kernel": _conv2d(sd("out.2.weight")),
+        "bias": sd("out.2.bias"),
+    }
+    return params, sd.unused()
+
+
+def load_torch_image_checkpoint(path: str, cfg, super_res: bool = False):
+    """Load a guided-diffusion / reference image ``.pt`` checkpoint.
+
+    With ``super_res=True`` the params are nested under ``unet`` to match
+    :class:`ImageSuperResModel`'s module tree.
+    """
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+    params, unused = convert_image_unet_state_dict(sd, cfg)
+    if unused:
+        from ..utils import logger
+
+        logger.log(
+            f"torch image import: {len(unused)} unused keys (first: {unused[:5]})"
+        )
+    return {"unet": params} if super_res else params
