@@ -120,11 +120,23 @@ def eval_multimodal(
             )
 
     audio_embedder_name = "custom"
+    av_scorer = None
     if audio_embedder is None:
         if not audio_fallback:
-            from .audio_embed import load_audioclip
+            # Full AudioCLIP (audio tower + CLIP visual) when the checkpoint
+            # carries both -> FAD embeddings AND per-pair AV alignment scores
+            # (parity: get_audioclip_embeddings_scores, get_embedding.py:69-78);
+            # audio-tower-only checkpoints degrade to FAD only.
+            try:
+                from .clip_model import load_audioclip_full
 
-            audio_embedder = load_audioclip(audioclip_checkpoint)
+                av_scorer = load_audioclip_full(audioclip_checkpoint)
+                audio_embedder = av_scorer.embed_audio
+            except Exception as e:
+                log.log(f"eval: no CLIP visual tower in checkpoint ({e}); FAD only")
+                from .audio_embed import load_audioclip
+
+                audio_embedder = load_audioclip(audioclip_checkpoint)
             audio_embedder_name = "audioclip"
         else:
             log.log(
@@ -135,24 +147,27 @@ def eval_multimodal(
             audio_embedder_name = "logmel_fallback"
 
     def collect(path):
-        vid_emb, aud_emb = [], []
+        vid_emb, aud_emb, av_scores = [], [], []
         n = 0
         for batch in _dir_loader(path, batch_size):
             videos = ((batch["video"] + 1) * 127.5).clip(0, 255).astype(np.uint8)
             vid_emb.append(video_embed(videos))
             aud_emb.append(audio_embedder(batch["audio"]))
+            if av_scorer is not None:
+                av_scores.append(av_scorer.av_scores(batch["audio"], videos))
             n += videos.shape[0]
             if n >= eval_num:
                 break
         return (
             np.concatenate(vid_emb)[:eval_num],
             np.concatenate(aud_emb)[:eval_num],
+            np.concatenate(av_scores)[:eval_num] if av_scores else None,
         )
 
     log.log(f"embedding fake set: {fake_path}")
-    fake_v, fake_a = collect(fake_path)
+    fake_v, fake_a, fake_av = collect(fake_path)
     log.log(f"embedding real set: {real_path}")
-    real_v, real_a = collect(real_path)
+    real_v, real_a, real_av = collect(real_path)
     log.log(f"evaluate for {len(real_v)} samples")
 
     metrics = {
@@ -168,6 +183,11 @@ def eval_multimodal(
             else "reference"
         ),
     }
+    if fake_av is not None:
+        # per-pair AV-CLIP alignment (the reference gathers these,
+        # evaluator.py:73-139; its final dict comments them out — exposed here)
+        metrics["av_clip_score_fake"] = float(np.mean(fake_av))
+        metrics["av_clip_score_real"] = float(np.mean(real_av))
     if compute_is and not pixel_fallback:
         # video Inception Score over the I3D class posteriors (capability
         # parity with evaluations/compute_video_is.py, minus the chainer C3D)
