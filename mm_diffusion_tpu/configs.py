@@ -118,6 +118,16 @@ def create_model_config(
     (parity: create_model, multimodal_script_util.py:131-201)."""
     video_size = _ints(video_size)
     audio_size = _ints(audio_size)
+    if class_cond:
+        # The reference accepts --class_cond and then hard-wires
+        # num_classes=None for the MM model (multimodal_script_util.py:193).
+        # Refuse loudly instead of training an unconditional model silently;
+        # class conditioning IS supported for the SR model (--sr_class_cond).
+        raise NotImplementedError(
+            "class_cond=True is accepted but unwired in the reference MM model "
+            "(multimodal_script_util.py:193 sets num_classes=None); this port "
+            "matches that and refuses rather than silently ignoring the flag."
+        )
     if channel_mult in ("", None):
         channel_mult = default_channel_mult(video_size[-1])
     else:

@@ -96,14 +96,27 @@ class KVLogger:
         return kvs
 
     def _dump_csv(self, kvs):
-        keys = sorted(kvs)
-        new_file = self._csv_keys is None
-        if self._csv_keys is not None and keys != self._csv_keys:
-            new_file = False  # append with matching subset; keep simple
-        if new_file and not os.path.exists(self._csv_path):
+        """Append a row; when NEW keys appear the whole file is rewritten
+        with the widened header (parity: CSVOutputFormat.writekvs,
+        reference logger.py:150-180 — r1 silently dropped late keys)."""
+        extra = sorted(set(kvs) - set(self._csv_keys or []))
+        if self._csv_keys is None:
+            self._csv_keys = sorted(kvs)
             with open(self._csv_path, "w", newline="") as f:
-                csv.writer(f).writerow(keys)
-        self._csv_keys = self._csv_keys or keys
+                csv.writer(f).writerow(self._csv_keys)
+        elif extra:
+            self._csv_keys = self._csv_keys + extra
+            rows = []
+            if os.path.exists(self._csv_path):
+                with open(self._csv_path, newline="") as f:
+                    reader = csv.reader(f)
+                    old_keys = next(reader, [])
+                    rows = [dict(zip(old_keys, r)) for r in reader]
+            with open(self._csv_path, "w", newline="") as f:
+                w = csv.writer(f)
+                w.writerow(self._csv_keys)
+                for r in rows:
+                    w.writerow([r.get(k, "") for k in self._csv_keys])
         with open(self._csv_path, "a", newline="") as f:
             csv.writer(f).writerow([kvs.get(k, "") for k in self._csv_keys])
 
