@@ -32,6 +32,7 @@ def setup_dist(
     already = os.environ.get("JAX_DIST_INITIALIZED")
     if already:
         return
+    explicit = coordinator_address is not None or num_processes is not None
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -40,8 +41,13 @@ def setup_dist(
         )
         os.environ["JAX_DIST_INITIALIZED"] = "1"
     except Exception:
-        # single-process / local run: nothing to do
-        pass
+        if explicit:
+            # the caller asked for a real multi-process rendezvous — a silent
+            # downgrade to single-process would train on 1/N of the data with
+            # no warning (the exact failure mode the reference's Gloo branch
+            # warns about, multimodal_train_util.py:141-145)
+            raise
+        # auto-detect on a single host: nothing to do
 
 
 def device_info() -> str:
