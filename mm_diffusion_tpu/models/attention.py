@@ -64,8 +64,13 @@ def qkv_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray
 
 
 class TokenSelfAttention(nn.Module):
-    """Residual self-attention over ``[..., T, C]`` token sequences
-    (parity: SingleModalAtten + SingleModalQKVAttention, ref :212-287)."""
+    """Residual self-attention over ``[N, T, C]`` token sequences
+    (parity: SingleModalAtten + SingleModalQKVAttention, ref :212-287).
+
+    The packed qkv projection output feeds the layout-native block-attention
+    kernel directly (ops/block_attention.py) — no heads-major transposes, no
+    ragged-length padding; tiny-T inputs (the factorized temporal pass) are
+    row-batched inside the kernel behind a block-diagonal mask."""
 
     channels: int
     num_heads: int
@@ -77,20 +82,14 @@ class TokenSelfAttention(nn.Module):
         qkv = nn.Dense(
             3 * self.channels, dtype=self.dtype, param_dtype=jnp.float32, name="qkv"
         )(h)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        from ..ops.fused_attention import flash_mha_bhtd
+        from ..ops.block_attention import dispatch_self_attention
 
-        # heads-major layout through the kernel; the output projection
-        # contracts (H, D) directly from [B, H, T, D] (DenseGeneral), fusing
-        # the head-merge transpose into the matmul instead of a layout copy.
-        out = flash_mha_bhtd(
-            jnp.swapaxes(_split_heads(q, self.num_heads), -3, -2),
-            jnp.swapaxes(_split_heads(k, self.num_heads), -3, -2),
-            jnp.swapaxes(_split_heads(v, self.num_heads), -3, -2),
-        )
-        out = nn.DenseGeneral(
-            features=self.channels,
-            axis=(-3, -1),
+        lead = qkv.shape[:-2]
+        out = dispatch_self_attention(
+            qkv.reshape(-1, *qkv.shape[-2:]), self.num_heads
+        ).reshape(*lead, x.shape[-2], self.channels)
+        out = nn.Dense(
+            self.channels,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             kernel_init=nn.initializers.zeros,
@@ -174,53 +173,33 @@ class RSMMACrossAttention(nn.Module):
             3 * self.channels, dtype=self.dtype, param_dtype=jnp.float32, name="a_qkv"
         )(GroupNormFP32(name="a_norm")(audio))
 
+        # Packed per-frame views: q [B,F,T,C], kv [B,F,T,2C] (k | v) feed the
+        # banded attention directly — the window never materializes (the
+        # band lives in the kernel's scalar-prefetched index_map; the
+        # round-1 jnp.take gather lowered to per-(frame, j) dynamic slices).
+        from ..ops.block_attention import dispatch_banded_attention
+
+        v_qkv = v_qkv.reshape(b, f, h * w, 3 * c)
+        a_qkv = a_qkv.reshape(b, f, apf, 3 * c)
         nh = self.num_heads
-        vq, vk, vv = [
-            _split_heads(t, nh).reshape(b, f, h * w, nh, c // nh)
-            for t in jnp.split(v_qkv, 3, axis=-1)
-        ]
-        aq, ak, av = [
-            _split_heads(t, nh).reshape(b, f, apf, nh, c // nh)
-            for t in jnp.split(a_qkv, 3, axis=-1)
-        ]
+        # video queries x audio key/value windows
+        v_out = dispatch_banded_attention(
+            v_qkv[..., :c], a_qkv[..., c:], shift, lw, nh
+        )
+        # audio queries x video key/value windows
+        a_out = dispatch_banded_attention(
+            a_qkv[..., :c], v_qkv[..., c:], shift, lw, nh
+        )
 
-        win = window_frame_indices(f, lw, shift)  # [F, lw]
-
-        def gather_window(t):  # [B, F, T, h, d] -> [B, F, lw*T, h, d]
-            g = jnp.take(t, win, axis=1)  # [B, F, lw, T, h, d]
-            return g.reshape(b, f, -1, *t.shape[-2:])
-
-        from ..ops.fused_attention import flash_mha_bhtd
-
-        def framed_attention(q, k, v):
-            # [B, F, T, h, d] -> flash over a (B*F) batch of per-frame
-            # windows, heads-major through the kernel -> [B, F, h, T, d]
-            bq, fq, tq, hh, dd = q.shape
-            tk = k.shape[2]
-            out = flash_mha_bhtd(
-                q.reshape(bq * fq, tq, hh, dd).swapaxes(1, 2),
-                k.reshape(bq * fq, tk, hh, dd).swapaxes(1, 2),
-                v.reshape(bq * fq, tk, hh, dd).swapaxes(1, 2),
-            )
-            return out.reshape(bq, fq, hh, tq, dd)
-
-        # video queries x audio keys/values
-        v_out = framed_attention(vq, gather_window(ak), gather_window(av))
-        # audio queries x video keys/values
-        a_out = framed_attention(aq, gather_window(vk), gather_window(vv))
-
-        # output projections contract (H, D) straight from the heads-major
-        # attention output (DenseGeneral) — no head-merge layout copy.
         zero_dense = dict(
             features=self.channels,
-            axis=(-3, -1),
             dtype=self.dtype,
             param_dtype=jnp.float32,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
         )
-        v_out = nn.DenseGeneral(name="video_proj_out", **zero_dense)(v_out)
-        a_out = nn.DenseGeneral(name="audio_proj_out", **zero_dense)(a_out)
+        v_out = nn.Dense(name="video_proj_out", **zero_dense)(v_out)
+        a_out = nn.Dense(name="audio_proj_out", **zero_dense)(a_out)
         v_out = v_out.reshape(b, f, h, w, c)
         a_out = a_out.reshape(b, l, c)
         return video + v_out, audio + a_out

@@ -1,0 +1,484 @@
+"""Block attention kernels: layout-native fused attention for the MM-UNet.
+
+Two Pallas TPU kernels replace the generic flash-attention dispatch on the
+model's hot attention shapes (profiled in tools/bench_attention.py — the
+jax.experimental flash kernel needs a heads-major [B,H,T,D] layout that costs
+a materialized transpose per operand, pads ragged lengths to 128-blocks, and
+the RS-MMA window gather lowers to a storm of per-frame dynamic slices):
+
+* :func:`self_attention_packed` — full multi-head attention over the *packed*
+  ``[N, T, 3C]`` qkv layout that the fused qkv projection naturally produces
+  (C = heads x head_dim, reference channel order: multimodal_unet.py:233-239).
+  For the model's sequence lengths (T <= ~1600) the whole [T, T] logits tile
+  fits in VMEM, so the softmax is computed in one shot — no streaming, no
+  padding, no layout change.  The backward pass is a second in-VMEM kernel
+  (recompute logits, standard attention VJP) emitting the packed ``dqkv``.
+
+* :func:`banded_cross_attention` — the RS-MMA windowed cross-modal attention
+  (reference semantics: multimodal_unet.py:498-678) as *block-banded* flash
+  attention.  Query frame f attends key/value frames ``(f+shift+j) % F`` for
+  ``j in [0, local_window)``.  The (traced) random shift enters only through
+  a scalar-prefetched modular ``index_map`` — the kernel streams the lw
+  kv frame-blocks per query frame with an online-softmax accumulator, so the
+  window never materializes in HBM (the round-1 gather produced thousands of
+  dynamic-slice ops and lw-fold duplicated kv tensors).
+
+Both ops carry a jnp reference implementation (`*_reference`) used as the
+numerics oracle in tests and as the non-TPU fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # TPU backend for pallas; interpret mode works everywhere
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    _HAS_PLTPU = False
+
+_NEG_INF = -1e30
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Self attention over packed qkv
+# ---------------------------------------------------------------------------
+
+
+def self_attention_reference(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """Oracle: multi-head attention over packed ``[N, T, 3C]`` qkv."""
+    n, t, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(n, t, num_heads, d)
+    k = k.reshape(n, t, num_heads, d)
+    v = v.reshape(n, t, num_heads, d)
+    logits = jnp.einsum(
+        "nqhd,nkhd->nhqk", q, k, preferred_element_type=jnp.float32
+    ) * (1.0 / math.sqrt(d))
+    w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("nhqk,nkhd->nqhd", w, v)
+    return out.reshape(n, t, c)
+
+
+def _rows_per_block(n: int, t: int) -> int:
+    """Batch rows so each block's attention matmul is MXU-sized: the largest
+    divisor of ``n`` with ``rows * t <= 512``.  Rows from different batch
+    elements are isolated by a block-diagonal mask, trading ``R x`` redundant
+    (masked) logits FLOPs — negligible at these sizes — for 128-wide MXU
+    tiles and ~R x fewer grid steps (per-step overhead dominates tiny-T
+    attention like the factorized temporal pass, T=16)."""
+    best = 1
+    r = 1
+    while r * t <= 512 and r <= n:
+        if n % r == 0:
+            best = r
+        r += 1
+    return best
+
+
+def _block_diag_mask(rows: int, t: int):
+    """[rows*t, rows*t] additive mask isolating each row's T x T block."""
+    rt = rows * t
+    row_blk = jax.lax.broadcasted_iota(jnp.int32, (rt, rt), 0) // t
+    col_blk = jax.lax.broadcasted_iota(jnp.int32, (rt, rt), 1) // t
+    return jnp.where(row_blk == col_blk, 0.0, _NEG_INF).astype(jnp.float32)
+
+
+def _self_fwd_kernel(qkv_ref, o_ref, *, num_heads: int, head_dim: int, rows: int):
+    c = num_heads * head_dim
+    scale = 1.0 / math.sqrt(head_dim)
+    t = qkv_ref.shape[1]
+    rt = rows * t
+    qkv = qkv_ref[...].reshape(rt, 3 * c)
+    mask = _block_diag_mask(rows, t) if rows > 1 else None
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        q = qkv[:, sl]
+        k = qkv[:, c + h * head_dim : c + (h + 1) * head_dim]
+        v = qkv[:, 2 * c + h * head_dim : 2 * c + (h + 1) * head_dim]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        if mask is not None:
+            logits = logits + mask
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        p = (p / denom).astype(v.dtype)
+        out = jnp.dot(p, v, preferred_element_type=jnp.float32)
+        o_ref[:, :, sl] = out.astype(o_ref.dtype).reshape(rows, t, head_dim)
+
+
+def _self_bwd_kernel(
+    qkv_ref, g_ref, dqkv_ref, *, num_heads: int, head_dim: int, rows: int
+):
+    c = num_heads * head_dim
+    scale = 1.0 / math.sqrt(head_dim)
+    t = qkv_ref.shape[1]
+    rt = rows * t
+    qkv = qkv_ref[...].reshape(rt, 3 * c)
+    gall = g_ref[...].reshape(rt, c)
+    mask = _block_diag_mask(rows, t) if rows > 1 else None
+    for h in range(num_heads):
+        sl_q = slice(h * head_dim, (h + 1) * head_dim)
+        sl_k = slice(c + h * head_dim, c + (h + 1) * head_dim)
+        sl_v = slice(2 * c + h * head_dim, 2 * c + (h + 1) * head_dim)
+        q = qkv[:, sl_q]
+        k = qkv[:, sl_k]
+        v = qkv[:, sl_v]
+        g = gall[:, sl_q]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        if mask is not None:
+            logits = logits + mask
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)  # [RT, RT] f32
+        pb = p.astype(v.dtype)
+        # dv = p^T g
+        dv = jax.lax.dot_general(
+            pb, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        # dp = g v^T
+        dp = jax.lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dsb = (ds * scale).astype(q.dtype)
+        dq = jnp.dot(dsb, k, preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(
+            dsb, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dqkv_ref[:, :, sl_q] = dq.astype(dqkv_ref.dtype).reshape(rows, t, head_dim)
+        dqkv_ref[:, :, sl_k] = dk.astype(dqkv_ref.dtype).reshape(rows, t, head_dim)
+        dqkv_ref[:, :, sl_v] = dv.astype(dqkv_ref.dtype).reshape(rows, t, head_dim)
+
+
+def _self_attention_pallas(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    n, t, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    rows = _rows_per_block(n, t)
+    kernel = functools.partial(
+        _self_fwd_kernel, num_heads=num_heads, head_dim=d, rows=rows
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, t, c), qkv.dtype),
+        grid=(n // rows,),
+        in_specs=[pl.BlockSpec((rows, t, c3), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((rows, t, c), lambda i: (i, 0, 0)),
+        interpret=_interpret(),
+    )(qkv)
+
+
+def _self_attention_bwd_pallas(
+    qkv: jnp.ndarray, g: jnp.ndarray, num_heads: int
+) -> jnp.ndarray:
+    n, t, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    rows = _rows_per_block(n, t)
+    kernel = functools.partial(
+        _self_bwd_kernel, num_heads=num_heads, head_dim=d, rows=rows
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, t, c3), qkv.dtype),
+        grid=(n // rows,),
+        in_specs=[
+            pl.BlockSpec((rows, t, c3), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rows, t, c), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((rows, t, c3), lambda i: (i, 0, 0)),
+        interpret=_interpret(),
+    )(qkv, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def self_attention_packed(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """Fused MHA over packed ``[N, T, 3C]`` qkv -> ``[N, T, C]``."""
+    return _self_attention_pallas(qkv, num_heads)
+
+
+def _self_fwd_rule(qkv, num_heads):
+    return _self_attention_pallas(qkv, num_heads), qkv
+
+
+def _self_bwd_rule(num_heads, qkv, g):
+    return (_self_attention_bwd_pallas(qkv, g, num_heads),)
+
+
+self_attention_packed.defvjp(_self_fwd_rule, _self_bwd_rule)
+
+
+def self_attention_fits(
+    n: int, t: int, c: int, num_heads: int, dtype_bytes: int = 2
+) -> bool:
+    """Dispatch guard: one (qkv + out) block + one [RT, RT] f32 logits tile
+    must fit comfortably in VMEM (~16 MB; keep headroom for double
+    buffering)."""
+    if c % num_heads or t < 8:
+        return False
+    rows = _rows_per_block(n, t)
+    block = 4 * rows * t * c * dtype_bytes  # qkv + out
+    logits = (rows * t) ** 2 * 4 * 2  # logits + p, f32
+    return (block + logits) < 9 * 1024 * 1024
+
+
+def dispatch_self_attention(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """Packed-qkv MHA: Pallas block kernel on TPU when it fits, reference
+    einsum elsewhere (CPU tests, oversized shapes)."""
+    n, t, c3 = qkv.shape
+    c = c3 // 3
+    if jax.default_backend() == "tpu" and self_attention_fits(n, t, c, num_heads):
+        return self_attention_packed(qkv, num_heads)
+    return self_attention_reference(qkv, num_heads)
+
+
+# ---------------------------------------------------------------------------
+# Banded (RS-MMA) cross attention
+# ---------------------------------------------------------------------------
+
+
+def banded_cross_attention_reference(
+    q: jnp.ndarray, kv: jnp.ndarray, shift, local_window: int, num_heads: int
+) -> jnp.ndarray:
+    """Oracle: query frame f attends kv frames (f+shift+j) % F, j<lw.
+
+    q: [N, F, Tq, C]; kv: [N, F, Tk, 2C] (k | v packed) -> [N, F, Tq, C].
+    """
+    n, f, tq, c = q.shape
+    tk = kv.shape[2]
+    d = c // num_heads
+    idx = (jnp.arange(f)[:, None] + shift + jnp.arange(local_window)[None, :]) % f
+    kvw = jnp.take(kv, idx, axis=1)  # [N, F, lw, Tk, 2C]
+    kvw = kvw.reshape(n, f, local_window * tk, 2 * c)
+    k, v = jnp.split(kvw, 2, axis=-1)
+    qh = q.reshape(n, f, tq, num_heads, d)
+    kh = k.reshape(n, f, local_window * tk, num_heads, d)
+    vh = v.reshape(n, f, local_window * tk, num_heads, d)
+    logits = jnp.einsum(
+        "nfqhd,nfkhd->nfhqk", qh, kh, preferred_element_type=jnp.float32
+    ) * (1.0 / math.sqrt(d))
+    w = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+    out = jnp.einsum("nfhqk,nfkhd->nfqhd", w, vh)
+    return out.reshape(n, f, tq, c)
+
+
+def _banded_fwd_kernel(
+    shift_ref,  # scalar prefetch (1,) int32
+    q_ref,  # (1, 1, Tq, C)
+    kv_ref,  # (1, 1, Tk, 2C)
+    o_ref,  # (1, 1, Tq, C)
+    acc_ref,  # scratch (Tq, C) f32
+    m_ref,  # scratch (Tq, H) f32
+    l_ref,  # scratch (Tq, H) f32
+    *,
+    num_heads: int,
+    head_dim: int,
+    local_window: int,
+):
+    j = pl.program_id(2)
+    c = num_heads * head_dim
+    scale = 1.0 / math.sqrt(head_dim)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        qh = q_ref[0, 0, :, sl]
+        kh = kv_ref[0, 0, :, sl]
+        vh = kv_ref[0, 0, :, c + h * head_dim : c + (h + 1) * head_dim]
+        logits = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [Tq, Tk]
+        m_prev = m_ref[:, h : h + 1]
+        m_cur = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_cur)
+        p = jnp.exp(logits - m_cur)  # [Tq, Tk]
+        l_ref[:, h : h + 1] = l_ref[:, h : h + 1] * alpha + jnp.sum(
+            p, axis=-1, keepdims=True
+        )
+        m_ref[:, h : h + 1] = m_cur
+        pv = jnp.dot(p.astype(vh.dtype), vh, preferred_element_type=jnp.float32)
+        acc_ref[:, sl] = acc_ref[:, sl] * alpha + pv
+
+    @pl.when(j == local_window - 1)
+    def _finalize():
+        for h in range(num_heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            o_ref[0, 0, :, sl] = (
+                acc_ref[:, sl] / l_ref[:, h : h + 1]
+            ).astype(o_ref.dtype)
+
+
+def _banded_fwd_pallas(q, kv, shift, local_window: int, num_heads: int):
+    n, f, tq, c = q.shape
+    tk = kv.shape[2]
+    d = c // num_heads
+    shift_arr = jnp.asarray(shift, jnp.int32).reshape((1,))
+    kernel = functools.partial(
+        _banded_fwd_kernel,
+        num_heads=num_heads,
+        head_dim=d,
+        local_window=local_window,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n, f, local_window),
+        in_specs=[
+            pl.BlockSpec((1, 1, tq, c), lambda i, fr, j, s: (i, fr, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, tk, 2 * c), lambda i, fr, j, s: (i, (fr + s[0] + j) % f, 0, 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, 1, tq, c), lambda i, fr, j, s: (i, fr, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((tq, c), jnp.float32),
+            pltpu.VMEM((tq, num_heads), jnp.float32),
+            pltpu.VMEM((tq, num_heads), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, f, tq, c), q.dtype),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(shift_arr, q, kv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def banded_cross_attention(q, kv, shift, local_window: int, num_heads: int):
+    """RS-MMA windowed cross attention, banded-flash form.
+
+    q: [N, F, Tq, C]; kv: [N, F, Tk, 2C]; shift: traced int scalar.
+    Query frame f attends kv frames (f+shift+j) % F for j in [0, lw).
+    """
+    return _banded_fwd_pallas(q, kv, shift, local_window, num_heads)
+
+
+def _banded_fwd_rule(q, kv, shift, local_window, num_heads):
+    out = _banded_fwd_pallas(q, kv, shift, local_window, num_heads)
+    return out, (q, kv, shift)
+
+
+def _banded_bwd_rule(local_window, num_heads, res, g):
+    q, kv, shift = res
+    # Backward via the reference formulation (jnp): correctness-first; the
+    # training step wraps blocks in remat anyway, and sampling (the headline
+    # path) never differentiates.  The window materialization here is the
+    # gather the forward avoids — acceptable on the rare grad path
+    # (gradient-guided zero-shot conditioning + training).
+    def f(q_, kv_):
+        return banded_cross_attention_reference(
+            q_, kv_, shift, local_window, num_heads
+        )
+
+    _, vjp = jax.vjp(f, q, kv)
+    dq, dkv = vjp(g)
+    return dq, dkv, None
+
+
+banded_cross_attention.defvjp(_banded_fwd_rule, _banded_bwd_rule)
+
+
+def banded_fits(
+    tq: int, tk: int, c: int, num_heads: int, dtype_bytes: int = 2
+) -> bool:
+    """VMEM guard for the banded kernel blocks + scratch."""
+    blocks = (2 * tq * c + tk * 2 * c) * dtype_bytes
+    scratch = tq * c * 4 + 2 * tq * num_heads * 4
+    logits = tq * tk * 4 * 2
+    return (blocks + scratch + logits) < 10 * 1024 * 1024 and c % num_heads == 0
+
+
+def banded_cross_attention_xla(
+    q: jnp.ndarray, kv: jnp.ndarray, shift, local_window: int, num_heads: int
+) -> jnp.ndarray:
+    """Roll-based XLA fallback: same math as the reference but the window is
+    built from one traced roll (two contiguous slices) plus ``lw`` *static*
+    rolls, instead of a per-(frame, j) gather — jnp.take with a traced index
+    matrix lowers to thousands of dynamic-slice ops on TPU (profiled in
+    tools/bench_attention.py).  Used for the small deep-level shapes where
+    per-grid-step overhead would dominate the Pallas banded kernel."""
+    n, f, tq, c = q.shape
+    tk = kv.shape[2]
+    d = c // num_heads
+    kv0 = jnp.roll(kv, -jnp.asarray(shift), axis=1)
+    if local_window == f:
+        kvw = kv0.reshape(n, 1, f * tk, 2 * c)
+        kvw = jnp.broadcast_to(kvw, (n, f, f * tk, 2 * c))
+    else:
+        kvw = jnp.stack(
+            [jnp.roll(kv0, -j, axis=1) for j in range(local_window)], axis=2
+        ).reshape(n, f, local_window * tk, 2 * c)
+    k, v = jnp.split(kvw, 2, axis=-1)
+    qh = q.reshape(n, f, tq, num_heads, d)
+    kh = k.reshape(n, f, local_window * tk, num_heads, d)
+    vh = v.reshape(n, f, local_window * tk, num_heads, d)
+    logits = jnp.einsum(
+        "nfqhd,nfkhd->nfhqk", qh, kh, preferred_element_type=jnp.float32
+    ) * (1.0 / math.sqrt(d))
+    w = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+    out = jnp.einsum("nfhqk,nfkhd->nfqhd", w, vh)
+    return out.reshape(n, f, tq, c)
+
+
+def dispatch_banded_attention(
+    q: jnp.ndarray, kv: jnp.ndarray, shift, local_window: int, num_heads: int
+) -> jnp.ndarray:
+    """RS-MMA windowed attention dispatch, empirically fit on v5e
+    (tools/bench_attention.py race of both paths over the stock config's
+    shape matrix):
+
+    * Pallas banded streaming kernel when the window duplication the roll
+      path would materialize is expensive relative to its grid overhead:
+      ``lw == 1`` (per-frame cross attention, big einsum transposes saved)
+      or kv longer than q with a small window (audio-side levels, where
+      roll would duplicate the large video kv ``lw``-fold);
+    * roll-based XLA path otherwise (video-side lw>1, deep tiny levels,
+      middle full-window block, CPU).
+    """
+    n, f, tq, c = q.shape
+    tk = kv.shape[2]
+    profitable = local_window == 1 or (tk > tq and local_window <= 4)
+    if (
+        jax.default_backend() == "tpu"
+        and tq >= 64
+        and profitable
+        and banded_fits(tq, tk, c, num_heads)
+    ):
+        return banded_cross_attention(q, kv, shift, local_window, num_heads)
+    return banded_cross_attention_xla(q, kv, shift, local_window, num_heads)
+
+
+__all__ = [
+    "self_attention_packed",
+    "self_attention_reference",
+    "self_attention_fits",
+    "dispatch_self_attention",
+    "banded_cross_attention",
+    "banded_cross_attention_reference",
+    "banded_cross_attention_xla",
+    "banded_fits",
+    "dispatch_banded_attention",
+]

@@ -101,16 +101,17 @@ def _groupnorm(sd: _SD, prefix: str) -> Dict[str, Any]:
 
 
 def _headed_proj(w, heads):
-    """1x1-conv projection weight [C_out, C_in, 1] -> DenseGeneral kernel
-    [H, D, C_out] (the flax side contracts heads-major attention outputs)."""
-    dense = _dense_from_conv1x1(w)  # [C_in, C_out]
-    c_in, c_out = dense.shape
-    return dense.reshape(heads, c_in // heads, c_out)
+    """1x1-conv projection weight [C_out, C_in, 1] -> Dense kernel
+    [C_in, C_out] (the flax attention modules consume the block-attention
+    kernel's merged-head [N, T, C] output with a plain Dense; heads is
+    unused but kept for call-site symmetry)."""
+    del heads
+    return _dense_from_conv1x1(w)
 
 
 def _token_attention(sd: _SD, prefix: str, heads: int) -> Dict[str, Any]:
     """SingleModalAtten -> TokenSelfAttention (qkv 1x1 conv -> Dense; proj
-    1x1 conv -> heads-major DenseGeneral).
+    1x1 conv -> Dense).
 
     Channel layouts agree: both split qkv into thirds then heads
     (SingleModalQKVAttention views (bs*heads, ch, T) from the concatenated

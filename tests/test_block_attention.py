@@ -1,0 +1,171 @@
+"""Parity tests for the layout-native block-attention kernels
+(ops/block_attention.py) against their jnp reference implementations, in
+Pallas interpret mode on CPU — forward and gradients, across the model's
+head-dim / sequence-length matrix (D in {64, 96, 128}; ragged Tk like the
+RS-MMA audio windows)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mm_diffusion_tpu.ops import block_attention as ba
+
+
+@pytest.mark.parametrize(
+    "n,t,heads,d",
+    [
+        (3, 64, 4, 64),  # spatial ds8-like
+        (2, 100, 4, 96),  # ragged T, C=384
+        (2, 128, 2, 128),  # D=128
+        (1, 40, 6, 64),  # SR-style heads
+    ],
+)
+def test_self_attention_parity(n, t, heads, d):
+    c = heads * d
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (n, t, 3 * c), jnp.float32)
+    out = ba.self_attention_packed(qkv, heads)
+    ref = ba.self_attention_reference(qkv, heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_self_attention_grad_parity():
+    n, t, heads, d = 2, 48, 4, 64
+    c = heads * d
+    qkv = jax.random.normal(jax.random.PRNGKey(1), (n, t, 3 * c), jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(2), (n, t, c), jnp.float32)
+
+    def loss_kernel(x):
+        return jnp.sum(ba.self_attention_packed(x, heads) * g)
+
+    def loss_ref(x):
+        return jnp.sum(ba.self_attention_reference(x, heads) * g)
+
+    gk = jax.grad(loss_kernel)(qkv)
+    gr = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize(
+    "f,tq,tk,lw,heads,d,shift",
+    [
+        (16, 64, 25, 8, 8, 64, 3),  # ds8 video-side
+        (16, 25, 64, 8, 8, 64, 5),  # ds8 audio-side (ragged q)
+        (8, 32, 16, 4, 4, 96, 0),
+        (16, 16, 8, 16, 2, 64, 0),  # middle: lw == F, no shift
+        (16, 48, 12, 1, 4, 64, 7),  # lw=1 (ds2)
+    ],
+)
+def test_banded_cross_attention_parity(f, tq, tk, lw, heads, d, shift):
+    c = heads * d
+    n = 2
+    q = jax.random.normal(jax.random.PRNGKey(0), (n, f, tq, c), jnp.float32)
+    kv = jax.random.normal(jax.random.PRNGKey(1), (n, f, tk, 2 * c), jnp.float32)
+    out = ba.banded_cross_attention(q, kv, jnp.int32(shift), lw, heads)
+    ref = ba.banded_cross_attention_reference(q, kv, shift, lw, heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_banded_cross_attention_traced_shift():
+    """The shift is a traced scalar inside jit (the model's RNG draw)."""
+    f, tq, tk, lw, heads, d = 8, 16, 8, 4, 2, 64
+    c = heads * d
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, f, tq, c))
+    kv = jax.random.normal(jax.random.PRNGKey(1), (1, f, tk, 2 * c))
+
+    @jax.jit
+    def run(s):
+        return ba.banded_cross_attention(q, kv, s, lw, heads)
+
+    for s in (0, 3, 7):
+        out = run(jnp.int32(s))
+        ref = ba.banded_cross_attention_reference(q, kv, s, lw, heads)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+
+def test_banded_cross_attention_grad():
+    f, tq, tk, lw, heads, d = 8, 12, 6, 4, 2, 64
+    c = heads * d
+    q = jax.random.normal(jax.random.PRNGKey(3), (1, f, tq, c))
+    kv = jax.random.normal(jax.random.PRNGKey(4), (1, f, tk, 2 * c))
+    g = jax.random.normal(jax.random.PRNGKey(5), (1, f, tq, c))
+
+    def loss_kernel(q_, kv_):
+        return jnp.sum(ba.banded_cross_attention(q_, kv_, jnp.int32(2), lw, heads) * g)
+
+    def loss_ref(q_, kv_):
+        return jnp.sum(
+            ba.banded_cross_attention_reference(q_, kv_, 2, lw, heads) * g
+        )
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1))(q, kv)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(q, kv)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
+
+def test_bf16_numerics_close():
+    """bf16 inputs: the kernel computes logits/softmax in f32 like the
+    reference fp32-softmax contract (multimodal_unet.py:238)."""
+    n, t, heads, d = 2, 64, 4, 64
+    c = heads * d
+    qkv = (
+        jax.random.normal(jax.random.PRNGKey(0), (n, t, 3 * c)).astype(jnp.bfloat16)
+    )
+    out = ba.self_attention_packed(qkv, heads)
+    ref = ba.self_attention_reference(qkv.astype(jnp.float32), heads)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), rtol=2e-2, atol=2e-2
+    )
+
+
+@pytest.mark.parametrize("n,t", [(32, 16), (8, 64), (16, 8)])
+def test_self_attention_batched_rows_parity(n, t):
+    """Tiny-T inputs batch multiple rows per block behind a block-diagonal
+    mask — results must still match per-row attention exactly."""
+    heads, d = 4, 64
+    c = heads * d
+    assert ba._rows_per_block(n, t) > 1
+    qkv = jax.random.normal(jax.random.PRNGKey(7), (n, t, 3 * c), jnp.float32)
+    out = ba.self_attention_packed(qkv, heads)
+    ref = ba.self_attention_reference(qkv, heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_self_attention_batched_rows_grad():
+    n, t, heads, d = 16, 16, 2, 64
+    c = heads * d
+    qkv = jax.random.normal(jax.random.PRNGKey(8), (n, t, 3 * c), jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(9), (n, t, c), jnp.float32)
+    gk = jax.grad(lambda x: jnp.sum(ba.self_attention_packed(x, heads) * g))(qkv)
+    gr = jax.grad(lambda x: jnp.sum(ba.self_attention_reference(x, heads) * g))(qkv)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize(
+    "f,tq,tk,lw,shift",
+    [(16, 16, 25, 8, 3), (16, 16, 25, 16, 0), (8, 32, 16, 1, 5)],
+)
+def test_banded_xla_roll_path_parity(f, tq, tk, lw, shift):
+    heads, d = 4, 64
+    c = heads * d
+    q = jax.random.normal(jax.random.PRNGKey(0), (2, f, tq, c))
+    kv = jax.random.normal(jax.random.PRNGKey(1), (2, f, tk, 2 * c))
+    out = jax.jit(
+        lambda s: ba.banded_cross_attention_xla(q, kv, s, lw, heads)
+    )(jnp.int32(shift))
+    ref = ba.banded_cross_attention_reference(q, kv, shift, lw, heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_dispatchers_run_on_cpu():
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (4, 32, 3 * 128))
+    out = ba.dispatch_self_attention(qkv, 2)
+    assert out.shape == (4, 32, 128)
+    q = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 16, 128))
+    kv = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 256))
+    out = ba.dispatch_banded_attention(q, kv, jnp.int32(1), 4, 2)
+    assert out.shape == (1, 8, 16, 128)
