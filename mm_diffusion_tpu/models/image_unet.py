@@ -75,15 +75,25 @@ class ImageResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, emb, *, train: bool = False):
+        # ``x`` may be a tuple of channel parts (decoder skip concat) — the
+        # concat is virtual: GroupNormFP32 normalizes parts jointly, the
+        # concat fuses into the SiLU producers, and the skip projection mixes
+        # parts with kernel slices (PointwiseFromParts).
         cfg = self.cfg
         dt = cfg.compute_dtype
         conv_kw = dict(dtype=dt, param_dtype=jnp.float32, padding="SAME")
 
-        h = nn.silu(GroupNormFP32(name="norm_in")(x))
+        def cat(parts):
+            if not isinstance(parts, tuple):
+                return parts
+            return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+
+        h = GroupNormFP32(name="norm_in")(x)
+        h = cat(jax.tree.map(nn.silu, h))
         if self.down:
-            h, x = image_downsample(h), image_downsample(x)
+            h, x = image_downsample(h), jax.tree.map(image_downsample, x)
         elif self.up:
-            h, x = image_upsample(h), image_upsample(x)
+            h, x = image_upsample(h), jax.tree.map(image_upsample, x)
         h = nn.Conv(self.out_ch, (3, 3), name="conv_in", **conv_kw)(h)
 
         emb_dim = 2 * self.out_ch if cfg.use_scale_shift_norm else self.out_ch
@@ -104,9 +114,18 @@ class ImageResBlock(nn.Module):
         )(h)
 
         if self.out_ch == self.in_ch:
-            skip = x
+            skip = cat(x)
         else:
-            skip = nn.Conv(self.out_ch, (1, 1), name="skip", **conv_kw)(x)
+            from .layers import PointwiseFromParts
+
+            parts = x if isinstance(x, tuple) else (x,)
+            skip = PointwiseFromParts(
+                self.out_ch,
+                sum(p.shape[-1] for p in parts),
+                lead_ones=2,
+                dtype=dt,
+                name="skip",
+            )(parts)
         return skip + h
 
 
@@ -248,7 +267,8 @@ class ImageUNet(nn.Module):
             hs.append(h)
         h = run(middle, h, "mid", 0)
         for i, specs in enumerate(decoder):
-            h = jnp.concatenate([h, hs.pop()], axis=-1)
+            # virtual concat — consumed by the entry's leading ResBlock
+            h = (h, hs.pop())
             h = run(specs, h, "dec", i)
 
         h = nn.silu(GroupNormFP32(name="out_norm")(h))

@@ -19,6 +19,7 @@ TPU-native re-design of `mm_diffusion/nn.py` and the conv/resample blocks of
 from __future__ import annotations
 
 import math
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -41,29 +42,142 @@ def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: float = 100
     return emb
 
 
+class _GNParams(nn.Module):
+    """Scale/bias holder named to match the param tree of the nn.GroupNorm
+    this module replaced (checkpoints and the torch importer address
+    ``GroupNorm_0/{scale,bias}``)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return scale, bias
+
+
 class GroupNormFP32(nn.Module):
-    """32-group GroupNorm computed in float32 regardless of activation dtype
-    (parity: GroupNorm32, nn.py:16-33 — fp32 cast; channels-last layout makes
-    the reference's 5-D rearrange unnecessary)."""
+    """32-group GroupNorm with float32 statistics over bf16 activations
+    (parity: GroupNorm32, nn.py:16-33).
+
+    Stats are computed as per-channel float32 sums reduced over the spatial
+    axes (lane-parallel; the convert fuses into the reduce) and combined into
+    group moments on tiny ``[B, G]`` tensors — the naive ``[.., G, C/G]``
+    reshape makes the group reduce lane-crossing and forces an fp32
+    materialization of the activation.
+
+    Accepts either one array or a TUPLE of channel-concatenated parts (the
+    U-Net decoder's skip concatenation): per-channel sums are additive, so
+    the parts are normalized *as if concatenated* without ever materializing
+    the concat — the caller concatenates (or not) downstream where XLA can
+    fuse it into the next elementwise producer.
+    """
 
     num_groups: int = 32
 
     @nn.compact
     def __call__(self, x):
-        orig_dtype = x.dtype
+        parts = x if isinstance(x, tuple) else (x,)
+        ch = sum(p.shape[-1] for p in parts)
+        groups = self.num_groups
         # production channel counts are multiples of 32 (reference contract);
         # smaller test configs fall back to the largest divisor <= num_groups.
-        ch = x.shape[-1]
-        groups = self.num_groups
         while ch % groups != 0:
             groups //= 2
-        y = nn.GroupNorm(
-            num_groups=groups,
-            epsilon=1e-5,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-        )(x.astype(jnp.float32))
-        return y.astype(orig_dtype)
+        scale, bias = _GNParams(ch, name="GroupNorm_0")()
+
+        if not isinstance(x, tuple):
+            # Single-array fast path: the stock nn.GroupNorm formulation —
+            # XLA fuses its stats into the producing conv and its normalize
+            # into the consuming conv (profiled; the manual formulation below
+            # breaks that operand fusion and costs an extra pass per GN).
+            y = nn.GroupNorm(
+                num_groups=groups,
+                epsilon=1e-5,
+                dtype=jnp.float32,
+                param_dtype=jnp.float32,
+                use_bias=False,
+                use_scale=False,
+                name="_stats",  # param-less (scale/bias live in _GNParams)
+            )(x.astype(jnp.float32))
+            return (y * scale + bias).astype(x.dtype)
+
+        b = parts[0].shape[0]
+        red = tuple(range(1, parts[0].ndim - 1))
+        n = ch // groups * 1
+        for d in red:
+            n *= parts[0].shape[d]
+
+        csum = jnp.concatenate(
+            [jnp.sum(p.astype(jnp.float32), axis=red) for p in parts], axis=-1
+        )  # [B, C]
+        csumsq = jnp.concatenate(
+            [jnp.sum(jnp.square(p.astype(jnp.float32)), axis=red) for p in parts],
+            axis=-1,
+        )
+        gsum = csum.reshape(b, groups, -1).sum(-1)
+        gsumsq = csumsq.reshape(b, groups, -1).sum(-1)
+        mean = gsum / n
+        var = gsumsq / n - jnp.square(mean)
+        rstd = jax.lax.rsqrt(var + 1e-5)
+        cpg = ch // groups
+        mean_c = jnp.repeat(mean, cpg, axis=-1)  # [B, C]
+        rstd_c = jnp.repeat(rstd, cpg, axis=-1)
+        # y = (x - mean) * rstd * scale + bias == x * cs + cb
+        cs_all = rstd_c * scale
+        cb_all = bias - mean_c * cs_all
+        shape = (b,) + (1,) * (parts[0].ndim - 2)
+
+        outs = []
+        off = 0
+        for p in parts:
+            w = p.shape[-1]
+            cs = cs_all[:, off : off + w].reshape(*shape, w)
+            cb = cb_all[:, off : off + w].reshape(*shape, w)
+            # fp32 elementwise math (converts fuse into the pass; HBM traffic
+            # stays bf16), cast back to the activation dtype on the way out.
+            outs.append((p.astype(jnp.float32) * cs + cb).astype(p.dtype))
+            off += w
+        return tuple(outs) if isinstance(x, tuple) else outs[0]
+
+
+class PointwiseFromParts(nn.Module):
+    """Channel-mixing 1x1 convolution over a tuple of channel parts.
+
+    ``conv(concat(parts))`` distributes over channel slices of the kernel, so
+    the decoder's skip concatenation never materializes in HBM — each part is
+    matmul'd against its kernel slice and the partials are summed (XLA fuses
+    the adds into the second matmul).  The kernel keeps the leading 1-dims of
+    the nn.Conv it replaces so checkpoints and the torch importer see an
+    identical param tree."""
+
+    features: int
+    in_features: int
+    lead_ones: int
+    zero_init: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, parts):
+        kshape = (1,) * self.lead_ones + (self.in_features, self.features)
+        kinit = zeros_init if self.zero_init else nn.initializers.lecun_normal()
+        binit = zeros_init
+        kernel = self.param("kernel", kinit, kshape, jnp.float32)
+        bias = self.param("bias", binit, (self.features,), jnp.float32)
+        w = kernel.reshape(self.in_features, self.features).astype(self.dtype)
+        out = None
+        off = 0
+        for p in parts:
+            ci = p.shape[-1]
+            y = jax.lax.dot_general(
+                p.astype(self.dtype),
+                w[off : off + ci],
+                (((p.ndim - 1,), (0,)), ((), ())),
+            )
+            out = y if out is None else out + y
+            off += ci
+        assert off == self.in_features, (off, self.in_features)
+        return out + bias.astype(self.dtype)
 
 
 class VideoConv(nn.Module):
@@ -86,6 +200,16 @@ class VideoConv(nn.Module):
     @nn.compact
     def __call__(self, x):
         k = self.kernel_size
+        if isinstance(x, tuple):  # virtual-concat parts, pointwise only
+            assert k == 1 and self.conv_type == "3d"
+            return PointwiseFromParts(
+                self.features,
+                sum(p.shape[-1] for p in x),
+                lead_ones=3,
+                zero_init=self.zero_init,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         kw = dict(
             dtype=self.dtype,
             param_dtype=jnp.float32,
@@ -115,6 +239,16 @@ class AudioConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if isinstance(x, tuple):  # virtual-concat parts, pointwise only
+            assert self.kernel_size == 1
+            return PointwiseFromParts(
+                self.features,
+                sum(p.shape[-1] for p in x),
+                lead_ones=1,
+                zero_init=self.zero_init,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         kw = dict(dtype=self.dtype, param_dtype=jnp.float32, padding="SAME")
         if self.zero_init:
             kw.update(kernel_init=zeros_init, bias_init=zeros_init)

@@ -17,6 +17,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -263,25 +264,36 @@ class MMResBlock(nn.Module):
     @nn.compact
     def __call__(self, video, audio, emb):
         # `train` is a static module attribute (not a call arg) so that
-        # nn.remat sees only array arguments.
+        # nn.remat sees only array arguments.  ``video``/``audio`` may be
+        # tuples of channel parts (decoder skip concat, never materialized:
+        # GroupNormFP32 normalizes parts as-if-concatenated, the concat then
+        # fuses into the SiLU producers, and the skip path mixes parts with
+        # kernel slices — see PointwiseFromParts).
         cfg, spec, train = self.cfg, self.spec, self.train
         dt = cfg.compute_dtype
 
+        def cat(parts):
+            if not isinstance(parts, tuple):
+                return parts
+            return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+
         video_h = GroupNormFP32(name="video_norm_in")(video)
+        video_h = cat(jax.tree.map(nn.silu, video_h))
         video_h = VideoConv(
             spec.out_ch, 3, conv_type=cfg.video_type, dtype=dt, name="video_conv_in"
-        )(nn.silu(video_h))
+        )(video_h)
         audio_h = GroupNormFP32(name="audio_norm_in")(audio)
+        audio_h = cat(jax.tree.map(nn.silu, audio_h))
         audio_h = AudioConv(
             spec.out_ch, 3, dilation=spec.audio_dilation, dtype=dt, name="audio_conv_in"
-        )(nn.silu(audio_h))
+        )(audio_h)
 
         if spec.down:
-            video_h, video = video_downsample(video_h), video_downsample(video)
-            audio_h, audio = audio_downsample(audio_h), audio_downsample(audio)
+            video_h, video = video_downsample(video_h), jax.tree.map(video_downsample, video)
+            audio_h, audio = audio_downsample(audio_h), jax.tree.map(audio_downsample, audio)
         elif spec.up:
-            video_h, video = video_upsample(video_h), video_upsample(video)
-            audio_h, audio = audio_upsample(audio_h), audio_upsample(audio)
+            video_h, video = video_upsample(video_h), jax.tree.map(video_upsample, video)
+            audio_h, audio = audio_upsample(audio_h), jax.tree.map(audio_upsample, audio)
 
         emb_dim = 2 * spec.out_ch if cfg.use_scale_shift_norm else spec.out_ch
         emb_out = nn.Dense(emb_dim, dtype=dt, param_dtype=jnp.float32, name="emb_proj")(
@@ -312,7 +324,7 @@ class MMResBlock(nn.Module):
         )(audio_h)
 
         if spec.out_ch == spec.in_ch:
-            video_skip, audio_skip = video, audio
+            video_skip, audio_skip = cat(video), cat(audio)
         else:
             video_skip = VideoConv(
                 spec.out_ch, 1, conv_type="3d", dtype=dt, name="video_skip"
@@ -421,8 +433,11 @@ class MultimodalUNet(nn.Module):
         video, audio = run_specs(plan.middle, video, audio, "mid", 0)
 
         for i, specs in enumerate(plan.decoder):
-            video = jnp.concatenate([video, video_hs.pop()], axis=-1)
-            audio = jnp.concatenate([audio, audio_hs.pop()], axis=-1)
+            # virtual concat: the leading ResBlock of every decoder entry
+            # consumes the (stream, skip) parts without materializing the
+            # channel concatenation (see MMResBlock docstring).
+            video = (video, video_hs.pop())
+            audio = (audio, audio_hs.pop())
             video, audio = run_specs(specs, video, audio, "dec", i)
 
         video = nn.silu(GroupNormFP32(name="video_out_norm")(video))

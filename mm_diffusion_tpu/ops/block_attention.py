@@ -237,7 +237,11 @@ def self_attention_fits(
     rows = _rows_per_block(n, t)
     block = 4 * rows * t * c * dtype_bytes  # qkv + out
     logits = (rows * t) ** 2 * 4 * 2  # logits + p, f32
-    return (block + logits) < 9 * 1024 * 1024
+    # 16 MB scoped VMEM minus in/out double-buffering headroom; the stock
+    # configs' largest case (T=1024, C=256 -> 10.4 MB) compiles with room to
+    # spare, and rejecting it silently routed the hottest attention through
+    # the einsum path (caught by HLO audit, round 2).
+    return (block + logits) < 12_500_000
 
 
 def dispatch_self_attention(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
