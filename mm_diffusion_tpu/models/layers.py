@@ -156,6 +156,7 @@ class PointwiseFromParts(nn.Module):
     lead_ones: int
     zero_init: bool = False
     dtype: Dtype = jnp.bfloat16
+    formulation: str = "conv"  # "conv": per-part 1x1 conv_general; "dot": dot_general
 
     @nn.compact
     def __call__(self, parts):
@@ -169,11 +170,23 @@ class PointwiseFromParts(nn.Module):
         off = 0
         for p in parts:
             ci = p.shape[-1]
-            y = jax.lax.dot_general(
-                p.astype(self.dtype),
-                w[off : off + ci],
-                (((p.ndim - 1,), (0,)), ((), ())),
-            )
+            if self.formulation == "conv":
+                # 1x1 conv_general keeps the operand/result in XLA's conv
+                # layout (no relayout copies next to the 3x3 convs) and the
+                # partial add fuses into the second conv's epilogue.
+                sp = "DHW"[3 - (p.ndim - 2) :]
+                dn = (f"N{sp}C", f"{sp}IO", f"N{sp}C")
+                wi = w[off : off + ci].reshape((1,) * (p.ndim - 2) + (ci, self.features))
+                y = jax.lax.conv_general_dilated(
+                    p.astype(self.dtype), wi, (1,) * (p.ndim - 2), "VALID",
+                    dimension_numbers=dn,
+                )
+            else:
+                y = jax.lax.dot_general(
+                    p.astype(self.dtype),
+                    w[off : off + ci],
+                    (((p.ndim - 1,), (0,)), ((), ())),
+                )
             out = y if out is None else out + y
             off += ci
         assert off == self.in_features, (off, self.in_features)
@@ -268,8 +281,11 @@ def video_downsample(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def video_upsample(x: jnp.ndarray) -> jnp.ndarray:
-    """Space-only 2x nearest upsample (parity: Upsample dims=3, ref :149-173)."""
-    return jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
+    """Space-only 2x nearest upsample (parity: Upsample dims=3, ref :149-173).
+    Single broadcast+reshape — chained jnp.repeat materializes twice."""
+    b, f, h, w, c = x.shape
+    y = jnp.broadcast_to(x[:, :, :, None, :, None, :], (b, f, h, 2, w, 2, c))
+    return y.reshape(b, f, 2 * h, 2 * w, c)
 
 
 def audio_downsample(x: jnp.ndarray) -> jnp.ndarray:
@@ -288,7 +304,9 @@ def image_downsample(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def image_upsample(x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    b, h, w, c = x.shape
+    y = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return y.reshape(b, 2 * h, 2 * w, c)
 
 
 class TimeEmbedding(nn.Module):
