@@ -173,23 +173,20 @@ class RSMMACrossAttention(nn.Module):
             3 * self.channels, dtype=self.dtype, param_dtype=jnp.float32, name="a_qkv"
         )(GroupNormFP32(name="a_norm")(audio))
 
-        # Packed per-frame views: q [B,F,T,C], kv [B,F,T,2C] (k | v) feed the
-        # banded attention directly — the window never materializes (the
-        # band lives in the kernel's scalar-prefetched index_map; the
-        # round-1 jnp.take gather lowered to per-(frame, j) dynamic slices).
-        from ..ops.block_attention import dispatch_banded_attention
+        # Packed per-frame views: both modalities' full [B,F,T,3C] qkv feed
+        # the banded attention directly — the window never materializes (the
+        # band lives in the kernel's scalar-prefetched index_map) and the
+        # q/kv lane slices happen inside the kernel block reads (explicit
+        # [..., :c] slicing cost a full extra HBM pass per operand).
+        from ..ops.block_attention import dispatch_banded_attention_packed
 
         v_qkv = v_qkv.reshape(b, f, h * w, 3 * c)
         a_qkv = a_qkv.reshape(b, f, apf, 3 * c)
         nh = self.num_heads
         # video queries x audio key/value windows
-        v_out = dispatch_banded_attention(
-            v_qkv[..., :c], a_qkv[..., c:], shift, lw, nh
-        )
+        v_out = dispatch_banded_attention_packed(v_qkv, a_qkv, shift, lw, nh, c)
         # audio queries x video key/value windows
-        a_out = dispatch_banded_attention(
-            a_qkv[..., :c], v_qkv[..., c:], shift, lw, nh
-        )
+        a_out = dispatch_banded_attention_packed(a_qkv, v_qkv, shift, lw, nh, c)
 
         zero_dense = dict(
             features=self.channels,

@@ -286,8 +286,8 @@ def banded_cross_attention_reference(
 
 def _banded_fwd_kernel(
     shift_ref,  # scalar prefetch (1,) int32
-    q_ref,  # (1, 1, Tq, C)
-    kv_ref,  # (1, 1, Tk, 2C)
+    q_ref,  # (1, 1, Tq, C) — or (1, 1, Tq, 3C) packed qkv (q in lanes [:C])
+    kv_ref,  # (1, 1, Tk, 2C) — or (1, 1, Tk, 3C) packed qkv (kv in lanes [C:])
     o_ref,  # (1, 1, Tq, C)
     acc_ref,  # scratch (Tq, C) f32
     m_ref,  # scratch (Tq, H) f32
@@ -296,10 +296,32 @@ def _banded_fwd_kernel(
     num_heads: int,
     head_dim: int,
     local_window: int,
+    kv_off: int = 0,
 ):
     j = pl.program_id(2)
     c = num_heads * head_dim
     scale = 1.0 / math.sqrt(head_dim)
+
+    if local_window == 1:
+        # Single-window band: one-shot softmax straight to the output —
+        # the online-softmax accumulator (3 f32 scratch round-trips per
+        # step) is pure overhead when there is exactly one kv block.
+        for h in range(num_heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            qh = q_ref[0, 0, :, sl]
+            kh = kv_ref[0, 0, :, kv_off + h * head_dim : kv_off + (h + 1) * head_dim]
+            vh = kv_ref[
+                0, 0, :, kv_off + c + h * head_dim : kv_off + c + (h + 1) * head_dim
+            ]
+            logits = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(vh.dtype)
+            out = jnp.dot(p, vh, preferred_element_type=jnp.float32)
+            o_ref[0, 0, :, sl] = out.astype(o_ref.dtype)
+        return
 
     @pl.when(j == 0)
     def _init():
@@ -310,8 +332,10 @@ def _banded_fwd_kernel(
     for h in range(num_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         qh = q_ref[0, 0, :, sl]
-        kh = kv_ref[0, 0, :, sl]
-        vh = kv_ref[0, 0, :, c + h * head_dim : c + (h + 1) * head_dim]
+        kh = kv_ref[0, 0, :, kv_off + h * head_dim : kv_off + (h + 1) * head_dim]
+        vh = kv_ref[
+            0, 0, :, kv_off + c + h * head_dim : kv_off + c + (h + 1) * head_dim
+        ]
         logits = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # [Tq, Tk]
@@ -335,9 +359,17 @@ def _banded_fwd_kernel(
             ).astype(o_ref.dtype)
 
 
-def _banded_fwd_pallas(q, kv, shift, local_window: int, num_heads: int):
-    n, f, tq, c = q.shape
-    tk = kv.shape[2]
+def _banded_fwd_pallas(
+    q, kv, shift, local_window: int, num_heads: int, *, c: int | None = None
+):
+    """``q``/``kv`` may be wider than the attention channels: when ``c`` is
+    given, q lives in q[..., :c] and (k | v) in kv[..., -2c:] — both modalities'
+    *packed qkv* projections feed the kernel directly, so the caller never
+    materializes the lane slices (a full extra HBM pass per operand)."""
+    n, f, tq, cq = q.shape
+    tk, ckv = kv.shape[2], kv.shape[3]
+    c = cq if c is None else c
+    kv_off = ckv - 2 * c
     d = c // num_heads
     shift_arr = jnp.asarray(shift, jnp.int32).reshape((1,))
     kernel = functools.partial(
@@ -345,14 +377,15 @@ def _banded_fwd_pallas(q, kv, shift, local_window: int, num_heads: int):
         num_heads=num_heads,
         head_dim=d,
         local_window=local_window,
+        kv_off=kv_off,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n, f, local_window),
         in_specs=[
-            pl.BlockSpec((1, 1, tq, c), lambda i, fr, j, s: (i, fr, 0, 0)),
+            pl.BlockSpec((1, 1, tq, cq), lambda i, fr, j, s: (i, fr, 0, 0)),
             pl.BlockSpec(
-                (1, 1, tk, 2 * c), lambda i, fr, j, s: (i, (fr + s[0] + j) % f, 0, 0)
+                (1, 1, tk, ckv), lambda i, fr, j, s: (i, (fr + s[0] + j) % f, 0, 0)
             ),
         ],
         out_specs=pl.BlockSpec((1, 1, tq, c), lambda i, fr, j, s: (i, fr, 0, 0)),
@@ -405,11 +438,61 @@ def _banded_bwd_rule(local_window, num_heads, res, g):
 banded_cross_attention.defvjp(_banded_fwd_rule, _banded_bwd_rule)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def banded_cross_attention_packed(
+    q_src, kv_src, shift, local_window: int, num_heads: int, channels: int
+):
+    """RS-MMA banded attention over *packed qkv* sources.
+
+    ``q_src``: [N, F, Tq, 3C] (this modality's qkv; q = [..., :C]);
+    ``kv_src``: [N, F, Tk, 3C] (other modality's qkv; k|v = [..., C:]).
+    The lane slicing happens inside the kernel block reads, so neither
+    [N,F,T,C] slice is ever materialized in HBM.
+    """
+    return _banded_fwd_pallas(
+        q_src, kv_src, shift, local_window, num_heads, c=channels
+    )
+
+
+def _banded_packed_fwd_rule(q_src, kv_src, shift, local_window, num_heads, channels):
+    out = _banded_fwd_pallas(
+        q_src, kv_src, shift, local_window, num_heads, c=channels
+    )
+    return out, (q_src, kv_src, shift)
+
+
+def _banded_packed_bwd_rule(local_window, num_heads, channels, res, g):
+    q_src, kv_src, shift = res
+    c = channels
+
+    def f(q_, kv_):
+        return banded_cross_attention_reference(
+            q_, kv_, shift, local_window, num_heads
+        )
+
+    _, vjp = jax.vjp(f, q_src[..., :c], kv_src[..., -2 * c :])
+    dq, dkv = vjp(g)
+    dq_src = jnp.concatenate([dq, jnp.zeros_like(q_src[..., c:])], axis=-1)
+    dkv_src = jnp.concatenate(
+        [jnp.zeros_like(kv_src[..., : kv_src.shape[-1] - 2 * c]), dkv], axis=-1
+    )
+    return dq_src, dkv_src, None
+
+
+banded_cross_attention_packed.defvjp(_banded_packed_fwd_rule, _banded_packed_bwd_rule)
+
+
 def banded_fits(
-    tq: int, tk: int, c: int, num_heads: int, dtype_bytes: int = 2
+    tq: int,
+    tk: int,
+    c: int,
+    num_heads: int,
+    dtype_bytes: int = 2,
+    qkv_packed: bool = False,
 ) -> bool:
     """VMEM guard for the banded kernel blocks + scratch."""
-    blocks = (2 * tq * c + tk * 2 * c) * dtype_bytes
+    w = 3 if qkv_packed else 2  # packed blocks carry the full 3C lanes
+    blocks = ((1 + (w - 1)) * tq * c + tk * w * c) * dtype_bytes
     scratch = tq * c * 4 + 2 * tq * num_heads * 4
     logits = tq * tk * 4 * 2
     return (blocks + scratch + logits) < 10 * 1024 * 1024 and c % num_heads == 0
@@ -473,6 +556,35 @@ def dispatch_banded_attention(
     ):
         return banded_cross_attention(q, kv, shift, local_window, num_heads)
     return banded_cross_attention_xla(q, kv, shift, local_window, num_heads)
+
+
+def dispatch_banded_attention_packed(
+    q_src: jnp.ndarray,
+    kv_src: jnp.ndarray,
+    shift,
+    local_window: int,
+    num_heads: int,
+    channels: int,
+) -> jnp.ndarray:
+    """Packed-qkv RS-MMA dispatch: q from ``q_src[..., :C]``, k|v from
+    ``kv_src[..., C:]``.  On the Pallas path the slices live only in the
+    kernel's block reads; the XLA fallback slices explicitly."""
+    n, f, tq, _ = q_src.shape
+    tk = kv_src.shape[2]
+    c = channels
+    profitable = local_window == 1 or (tk > tq and local_window <= 4)
+    if (
+        jax.default_backend() == "tpu"
+        and tq >= 64
+        and profitable
+        and banded_fits(tq, tk, c, num_heads, qkv_packed=True)
+    ):
+        return banded_cross_attention_packed(
+            q_src, kv_src, shift, local_window, num_heads, c
+        )
+    return banded_cross_attention_xla(
+        q_src[..., :c], kv_src[..., -2 * c :], shift, local_window, num_heads
+    )
 
 
 __all__ = [
