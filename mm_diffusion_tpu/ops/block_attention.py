@@ -79,7 +79,8 @@ def _rows_per_block(n: int, t: int) -> int:
     elements are isolated by a block-diagonal mask, trading ``R x`` redundant
     (masked) logits FLOPs — negligible at these sizes — for 128-wide MXU
     tiles and ~R x fewer grid steps (per-step overhead dominates tiny-T
-    attention like the factorized temporal pass, T=16)."""
+    attention like the factorized temporal pass, T=16; 1024-row blocks
+    measured slower — the doubled masked FLOPs beat the saved steps)."""
     best = 1
     r = 1
     while r * t <= 512 and r <= n:
