@@ -27,6 +27,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from .layers import GroupNormFP32
 
@@ -88,6 +89,9 @@ class TokenSelfAttention(nn.Module):
         out = dispatch_self_attention(
             qkv.reshape(-1, *qkv.shape[-2:]), self.num_heads
         ).reshape(*lead, x.shape[-2], self.channels)
+        # saved by the remat policy (mm_unet): re-running the attention
+        # kernel in the backward recompute is the priciest part of the block
+        out = checkpoint_name(out, "attn_out")
         out = nn.Dense(
             self.channels,
             dtype=self.dtype,

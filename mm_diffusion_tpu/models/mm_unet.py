@@ -395,8 +395,16 @@ class MultimodalUNet(nn.Module):
         video = video.astype(dt)
         audio = audio.astype(dt)
 
+        # Per-block remat, but keep the attention kernel outputs (tagged
+        # 'attn_out' in TokenSelfAttention) — recomputing the Pallas
+        # attention in the backward pass costs more step time than the
+        # saved activations cost HBM (the conv activations, the bulk of
+        # the memory, are still rematerialized).
+        remat_policy = jax.checkpoint_policies.save_only_these_names("attn_out")
         maybe_remat = (
-            (lambda m: nn.remat(m, static_argnums=())) if cfg.use_checkpoint else (lambda m: m)
+            (lambda m: nn.remat(m, static_argnums=(), policy=remat_policy))
+            if cfg.use_checkpoint
+            else (lambda m: m)
         )
 
         def run_specs(specs, video, audio, stage, idx):

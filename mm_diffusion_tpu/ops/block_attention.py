@@ -220,7 +220,26 @@ def _self_fwd_rule(qkv, num_heads):
     return _self_attention_pallas(qkv, num_heads), qkv
 
 
+def self_attention_bwd_fits(n: int, t: int, c: int, num_heads: int) -> bool:
+    """The backward kernel holds ~4.5 [RT, RT] f32 tiles at once (logits, p,
+    dp, ds + bf16 copies) — roughly 2x the forward's footprint, so it needs
+    its own guard (the T=1024 spatial shape fits forward but OOMs backward
+    at 19.5 MB scoped VMEM — caught on a real-chip train-step compile)."""
+    rows = _rows_per_block(n, t)
+    rt = rows * t
+    tiles = 4.5 * rt * rt * 4
+    blocks = (3 + 1 + 3) * rt * c * 2  # qkv + g + dqkv
+    return (tiles + blocks) < 12_500_000
+
+
 def _self_bwd_rule(num_heads, qkv, g):
+    n, t, c3 = qkv.shape
+    c = c3 // 3
+    if not _interpret() and not self_attention_bwd_fits(n, t, c, num_heads):
+        # Reference-formulation VJP for shapes whose backward tiles exceed
+        # VMEM; the forward stays on the block kernel.
+        _, vjp = jax.vjp(lambda x: self_attention_reference(x, num_heads), qkv)
+        return vjp(g)
     return (_self_attention_bwd_pallas(qkv, g, num_heads),)
 
 

@@ -169,3 +169,47 @@ def test_dispatchers_run_on_cpu():
     kv = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 256))
     out = ba.dispatch_banded_attention(q, kv, jnp.int32(1), 4, 2)
     assert out.shape == (1, 8, 16, 128)
+
+
+def test_self_attention_bwd_fits_guard():
+    # The stock config's T=1024 spatial shape fits forward (12.5 MB bound)
+    # but its backward tiles (~4.5 RT^2 f32) exceed VMEM — the guard must
+    # split, or the real-chip train step OOMs scoped vmem (round-2 bug).
+    assert ba.self_attention_fits(128, 1024, 256, 4)
+    assert not ba.self_attention_bwd_fits(128, 1024, 256, 4)
+    # deeper levels fit both ways
+    assert ba.self_attention_bwd_fits(128, 256, 384, 6)
+    assert ba.self_attention_bwd_fits(128, 64, 512, 8)
+
+
+@pytest.mark.parametrize("lw,shift", [(1, 0), (1, 2), (3, 1)])
+def test_banded_packed_parity(lw, shift):
+    f, tq, tk, heads, d = 4, 64, 40, 2, 64
+    c = heads * d
+    key = jax.random.PRNGKey(3)
+    q_src = jax.random.normal(key, (2, f, tq, 3 * c), jnp.float32)
+    kv_src = jax.random.normal(jax.random.PRNGKey(4), (2, f, tk, 3 * c), jnp.float32)
+    out = ba.banded_cross_attention_packed(q_src, kv_src, shift, lw, heads, c)
+    ref = ba.banded_cross_attention_reference(
+        q_src[..., :c], kv_src[..., c:], shift, lw, heads
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_banded_packed_grad_flows_to_packed_lanes():
+    f, tq, tk, heads, d = 2, 16, 8, 2, 32
+    c = heads * d
+    q_src = jax.random.normal(jax.random.PRNGKey(5), (1, f, tq, 3 * c), jnp.float32)
+    kv_src = jax.random.normal(jax.random.PRNGKey(6), (1, f, tk, 3 * c), jnp.float32)
+
+    def loss(q_src, kv_src):
+        return jnp.sum(
+            ba.banded_cross_attention_packed(q_src, kv_src, 0, 1, heads, c) ** 2
+        )
+
+    dq, dkv = jax.grad(loss, argnums=(0, 1))(q_src, kv_src)
+    # grads live only in the q lanes of q_src and the kv lanes of kv_src
+    assert float(jnp.abs(dq[..., :c]).sum()) > 0
+    assert float(jnp.abs(dq[..., c:]).sum()) == 0.0
+    assert float(jnp.abs(dkv[..., c:]).sum()) > 0
+    assert float(jnp.abs(dkv[..., :c]).sum()) == 0.0
