@@ -42,6 +42,7 @@ def create_argparser():
         ref_path="",
         sample_steps=20,
         sr_sample_steps=50,
+        n_sample_data=1,
     )
     defaults.update(configs.model_and_diffusion_defaults())
     defaults.update(configs.image_sr_model_and_diffusion_defaults())
@@ -138,6 +139,27 @@ def main(argv=None):
         ),
     )
 
+    out_shardings = None
+    if args.n_sample_data > 1:
+        # Shard the sampling batch over a data mesh — the TPU equivalent of
+        # the reference's per-GPU sampling ranks (multimodal_sample_sr.sh
+        # mpiexec -n 4): GSPMD partitions every batch-leading tensor in the
+        # whole base+SR chain; jax.random values are sharding-invariant so
+        # results are bit-identical to the single-device run.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS, make_mesh, replicated
+
+        if args.batch_size % args.n_sample_data != 0:
+            raise ValueError(
+                f"batch_size {args.batch_size} must divide over "
+                f"n_sample_data={args.n_sample_data}"
+            )
+        mesh = make_mesh(n_data=args.n_sample_data, n_fsdp=1)
+        params = jax.device_put(params, replicated(mesh))
+        sr_params = jax.device_put(sr_params, replicated(mesh))
+        out_shardings = NamedSharding(mesh, P(DATA_AXIS))
+
     base = build_base_sampler(
         model, diffusion, params, sample_fn=args.sample_fn, steps=args.sample_steps
     )
@@ -145,9 +167,8 @@ def main(argv=None):
         sr_model, sr_diffusion, sr_params,
         sample_fn=args.sr_sample_fn, steps=args.sr_sample_steps,
     )
-    pipeline = jax.jit(
-        lambda r: sample_base_and_sr(base, sr, r, args.batch_size, sr_size, f)
-    )
+    fn = lambda r: sample_base_and_sr(base, sr, r, args.batch_size, sr_size, f)
+    pipeline = jax.jit(fn, out_shardings=out_shardings)
 
     n_batches = (args.sample_num + args.batch_size - 1) // args.batch_size
     idx = 0

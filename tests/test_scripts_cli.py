@@ -216,3 +216,40 @@ def test_sr_preview_triptych(tmp_path):
     out = str(tmp_path / "trip.png")
     save_sr_preview(model, None, variables["params"], batch, out, steps=5)
     assert os.path.getsize(out) > 0
+
+
+def test_multimodal_sample_sr_cli_data_sharded(tmp_path):
+    """--n_sample_data shards the sampling batch over the 8-device CPU mesh
+    (the reference's per-GPU sampling ranks, multimodal_sample_sr.sh
+    mpiexec); jax.random is sharding-invariant so the media outputs must be
+    identical to the single-device run."""
+    from mm_diffusion_tpu.scripts import multimodal_sample_sr
+
+    common = (
+        TINY_MM
+        + TINY_SR
+        + [
+            "--multimodal_model_path", "random",
+            "--sr_model_path", "random",
+            "--batch_size", "8",
+            "--sample_num", "8",
+            "--sample_fn", "ddpm",
+            "--sample_steps", "3",
+            "--timestep_respacing", "3",
+            "--sr_sample_fn", "ddim",
+            "--sr_sample_steps", "2",
+            "--save_type", "gif",
+        ]
+    )
+    single = tmp_path / "single"
+    sharded = tmp_path / "sharded"
+    multimodal_sample_sr.main(common + ["--output_dir", str(single)])
+    multimodal_sample_sr.main(
+        common + ["--output_dir", str(sharded), "--n_sample_data", "8"]
+    )
+    s_wavs = sorted(glob.glob(str(single / "sample_*.wav")))
+    p_wavs = sorted(glob.glob(str(sharded / "sample_*.wav")))
+    assert len(s_wavs) == len(p_wavs) == 8
+    for a, b in zip(s_wavs, p_wavs):
+        with open(a, "rb") as fa, open(b, "rb") as fb:
+            assert fa.read() == fb.read(), f"{a} != {b}"
