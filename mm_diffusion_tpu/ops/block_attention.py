@@ -187,6 +187,82 @@ def _self_attention_pallas(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     )(qkv)
 
 
+def _self_bwd_chunked_kernel(
+    qkv_ref, g_ref, dqkv_ref, *, num_heads: int, head_dim: int, qblock: int
+):
+    """Flash-style backward for large T: q-rows processed in ``qblock``
+    chunks so the [qblock, T] logits tiles fit VMEM (the one-shot backward
+    holds ~4.5 [T, T] f32 tiles and OOMs at T=1024).  Each chunk's rows are
+    complete, so the softmax is one-shot per chunk — no saved normalizers."""
+    c = num_heads * head_dim
+    scale = 1.0 / math.sqrt(head_dim)
+    t = qkv_ref.shape[1]
+    qkv = qkv_ref[0]  # [T, 3C]
+    gall = g_ref[0]  # [T, C]
+    nblk = t // qblock
+    for h in range(num_heads):
+        sl_q = slice(h * head_dim, (h + 1) * head_dim)
+        sl_k = slice(c + h * head_dim, c + (h + 1) * head_dim)
+        sl_v = slice(2 * c + h * head_dim, 2 * c + (h + 1) * head_dim)
+        k = qkv[:, sl_k]  # [T, D]
+        v = qkv[:, sl_v]
+        dk = jnp.zeros((t, head_dim), jnp.float32)
+        dv = jnp.zeros((t, head_dim), jnp.float32)
+        dq_parts = []
+        for b in range(nblk):
+            rows = slice(b * qblock, (b + 1) * qblock)
+            q = qkv[rows, sl_q]  # [QB, D]
+            g = gall[rows, sl_q]
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale  # [QB, T]
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            pb = p.astype(v.dtype)
+            dv = dv + jax.lax.dot_general(
+                pb, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            dp = jax.lax.dot_general(
+                g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            dsb = (ds * scale).astype(q.dtype)
+            dq_parts.append(
+                jnp.dot(dsb, k, preferred_element_type=jnp.float32)
+            )
+            dk = dk + jax.lax.dot_general(
+                dsb, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+        dqkv_ref[0, :, sl_q] = jnp.concatenate(dq_parts, axis=0).astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, sl_k] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, sl_v] = dv.astype(dqkv_ref.dtype)
+
+
+def _self_attention_bwd_chunked_pallas(
+    qkv: jnp.ndarray, g: jnp.ndarray, num_heads: int, qblock: int = 256
+) -> jnp.ndarray:
+    n, t, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    if t % qblock:
+        qblock = t  # degenerate; only reached for shapes that fit one-shot
+    kernel = functools.partial(
+        _self_bwd_chunked_kernel, num_heads=num_heads, head_dim=d, qblock=qblock
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, t, c3), qkv.dtype),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, t, c3), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, t, c), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, t, c3), lambda i: (i, 0, 0)),
+        interpret=_interpret(),
+    )(qkv, g)
+
+
 def _self_attention_bwd_pallas(
     qkv: jnp.ndarray, g: jnp.ndarray, num_heads: int
 ) -> jnp.ndarray:
@@ -232,12 +308,24 @@ def self_attention_bwd_fits(n: int, t: int, c: int, num_heads: int) -> bool:
     return (tiles + blocks) < 12_500_000
 
 
+def self_attention_bwd_chunked_fits(t: int, c: int, qblock: int = 256) -> bool:
+    """VMEM guard for the chunked backward: full-T blocks + [qblock, T]
+    chunk tiles."""
+    blocks = 7 * t * c * 2  # qkv + g + dqkv, bf16
+    chunk = 4 * qblock * t * 4  # logits/p/dp/ds f32
+    acc = 3 * t * (c // 1) * 4 // 1  # dk/dv/dq accumulators (per-head slices)
+    return (blocks + chunk + acc) < 12_500_000
+
+
 def _self_bwd_rule(num_heads, qkv, g):
     n, t, c3 = qkv.shape
     c = c3 // 3
     if not _interpret() and not self_attention_bwd_fits(n, t, c, num_heads):
-        # Reference-formulation VJP for shapes whose backward tiles exceed
-        # VMEM; the forward stays on the block kernel.
+        if self_attention_bwd_chunked_fits(t, c):
+            # Flash-style q-chunked backward: the T=1024 spatial shape whose
+            # one-shot backward OOMs VMEM runs here at kernel speed instead
+            # of the reference einsum VJP.
+            return (_self_attention_bwd_chunked_pallas(qkv, g, num_heads),)
         _, vjp = jax.vjp(lambda x: self_attention_reference(x, num_heads), qkv)
         return vjp(g)
     return (_self_attention_bwd_pallas(qkv, g, num_heads),)

@@ -213,3 +213,15 @@ def test_banded_packed_grad_flows_to_packed_lanes():
     assert float(jnp.abs(dq[..., c:]).sum()) == 0.0
     assert float(jnp.abs(dkv[..., c:]).sum()) > 0
     assert float(jnp.abs(dkv[..., :c]).sum()) == 0.0
+
+
+def test_self_attention_chunked_bwd_parity():
+    """The flash-style q-chunked backward (used when the one-shot backward
+    tiles exceed VMEM) must match the reference VJP."""
+    n, t, heads, d = 2, 128, 2, 64
+    c = heads * d
+    qkv = jax.random.normal(jax.random.PRNGKey(11), (n, t, 3 * c), jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(12), (n, t, c), jnp.float32)
+    got = ba._self_attention_bwd_chunked_pallas(qkv, g, heads, qblock=32)
+    ref = jax.vjp(lambda x: ba.self_attention_reference(x, heads), qkv)[1](g)[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
