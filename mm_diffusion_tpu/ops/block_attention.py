@@ -546,6 +546,90 @@ def _banded_bwd_rule(local_window, num_heads, res, g):
 banded_cross_attention.defvjp(_banded_fwd_rule, _banded_bwd_rule)
 
 
+def _banded_bwd_lw1_kernel(
+    shift_ref,
+    q_ref,  # (1, 1, Tq, 3C) packed
+    kv_ref,  # (1, 1, Tk, 3C) packed
+    g_ref,  # (1, 1, Tq, C)
+    dq_ref,  # (1, 1, Tq, 3C) — grads in q lanes, zeros elsewhere
+    dkv_ref,  # (1, 1, Tk, 3C) — grads in kv lanes, zeros elsewhere
+    *,
+    num_heads: int,
+    head_dim: int,
+):
+    c = num_heads * head_dim
+    scale = 1.0 / math.sqrt(head_dim)
+    dq_ref[...] = jnp.zeros_like(dq_ref)
+    dkv_ref[...] = jnp.zeros_like(dkv_ref)
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        q = q_ref[0, 0, :, sl]
+        k = kv_ref[0, 0, :, c + h * head_dim : c + (h + 1) * head_dim]
+        v = kv_ref[0, 0, :, 2 * c + h * head_dim : 2 * c + (h + 1) * head_dim]
+        g = g_ref[0, 0, :, sl]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        pb = p.astype(v.dtype)
+        dv = jax.lax.dot_general(
+            pb, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dsb = (ds * scale).astype(q.dtype)
+        dq = jnp.dot(dsb, k, preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(
+            dsb, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dq_ref[0, 0, :, sl] = dq.astype(dq_ref.dtype)
+        dkv_ref[0, 0, :, c + h * head_dim : c + (h + 1) * head_dim] = dk.astype(
+            dkv_ref.dtype
+        )
+        dkv_ref[0, 0, :, 2 * c + h * head_dim : 2 * c + (h + 1) * head_dim] = dv.astype(
+            dkv_ref.dtype
+        )
+
+
+def _banded_bwd_lw1_pallas(q_src, kv_src, g, shift, num_heads: int, channels: int):
+    """Backward of the lw==1 band: frame f's grads scatter to kv frame
+    (f+shift) % F — a bijection, so the dkv output block index_map is the
+    same scalar-prefetched modular map as the forward's kv input."""
+    n, f, tq, cq = q_src.shape
+    tk, ckv = kv_src.shape[2], kv_src.shape[3]
+    d = channels // num_heads
+    shift_arr = jnp.asarray(shift, jnp.int32).reshape((1,))
+    kernel = functools.partial(
+        _banded_bwd_lw1_kernel, num_heads=num_heads, head_dim=d
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n, f),
+        in_specs=[
+            pl.BlockSpec((1, 1, tq, cq), lambda i, fr, s: (i, fr, 0, 0)),
+            pl.BlockSpec((1, 1, tk, ckv), lambda i, fr, s: (i, (fr + s[0]) % f, 0, 0)),
+            pl.BlockSpec((1, 1, tq, channels), lambda i, fr, s: (i, fr, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, tq, cq), lambda i, fr, s: (i, fr, 0, 0)),
+            pl.BlockSpec((1, 1, tk, ckv), lambda i, fr, s: (i, (fr + s[0]) % f, 0, 0)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct(q_src.shape, q_src.dtype),
+            jax.ShapeDtypeStruct(kv_src.shape, kv_src.dtype),
+        ],
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(shift_arr, q_src, kv_src, g)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def banded_cross_attention_packed(
     q_src, kv_src, shift, local_window: int, num_heads: int, channels: int
@@ -572,6 +656,22 @@ def _banded_packed_fwd_rule(q_src, kv_src, shift, local_window, num_heads, chann
 def _banded_packed_bwd_rule(local_window, num_heads, channels, res, g):
     q_src, kv_src, shift = res
     c = channels
+    tq, tk = q_src.shape[2], kv_src.shape[2]
+    if (
+        local_window == 1
+        and not _interpret()
+        and q_src.shape[-1] == 3 * c
+        and kv_src.shape[-1] == 3 * c
+        and banded_fits(tq, tk, c, num_heads, qkv_packed=True)
+    ):
+        # One-shot banded backward kernel: the f -> (f+shift) % F frame map
+        # is bijective at lw==1, so dkv scatters through the same modular
+        # output index_map; grads are written directly into the packed-3C
+        # layout (zeros in the non-participating lanes).
+        dq_src, dkv_src = _banded_bwd_lw1_pallas(
+            q_src, kv_src, g, shift, num_heads, c
+        )
+        return dq_src, dkv_src, None
 
     def f(q_, kv_):
         return banded_cross_attention_reference(

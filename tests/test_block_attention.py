@@ -225,3 +225,27 @@ def test_self_attention_chunked_bwd_parity():
     got = ba._self_attention_bwd_chunked_pallas(qkv, g, heads, qblock=32)
     ref = jax.vjp(lambda x: ba.self_attention_reference(x, heads), qkv)[1](g)[0]
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_banded_bwd_lw1_kernel_parity():
+    """The lw==1 banded backward kernel (bijective frame scatter) must match
+    the reference VJP, including the packed-lane zero routing."""
+    f, tq, tk, heads, d = 4, 32, 16, 2, 64
+    c = heads * d
+    q_src = jax.random.normal(jax.random.PRNGKey(21), (2, f, tq, 3 * c), jnp.float32)
+    kv_src = jax.random.normal(jax.random.PRNGKey(22), (2, f, tk, 3 * c), jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(23), (2, f, tq, c), jnp.float32)
+    for shift in (0, 1, 3):
+        dq_src, dkv_src = ba._banded_bwd_lw1_pallas(q_src, kv_src, g, shift, heads, c)
+        ref_fn = lambda q_, kv_: ba.banded_cross_attention_reference(
+            q_, kv_, shift, 1, heads
+        )
+        dq_ref, dkv_ref = jax.vjp(ref_fn, q_src[..., :c], kv_src[..., c:])[1](g)
+        np.testing.assert_allclose(
+            np.asarray(dq_src[..., :c]), np.asarray(dq_ref), rtol=2e-4, atol=2e-4
+        )
+        assert float(jnp.abs(dq_src[..., c:]).sum()) == 0.0
+        np.testing.assert_allclose(
+            np.asarray(dkv_src[..., c:]), np.asarray(dkv_ref), rtol=2e-4, atol=2e-4
+        )
+        assert float(jnp.abs(dkv_src[..., :c]).sum()) == 0.0
