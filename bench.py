@@ -144,6 +144,54 @@ def main():
     sr_s = time_chained(sr_eval, sr_x, n_chain=10)
     sr_ms = sr_s * 1000.0
 
+    # -- training step (real config, b4, remat) --------------------------------
+    train_ms = train_ex_per_sec = None
+    try:
+        import time as _time
+
+        from mm_diffusion_tpu.train.state import (
+            create_train_state,
+            make_optimizer,
+            make_train_step,
+        )
+        from mm_diffusion_tpu.configs import create_gaussian_diffusion
+
+        tcfg = create_model_config(
+            video_size="16,3,64,64", audio_size="1,25600", num_channels=128,
+            num_res_blocks=2, num_head_channels=64,
+            cross_attention_resolutions="2,4,8", cross_attention_windows="1,4,8",
+            cross_attention_shift=True, video_attention_resolutions="2,4,8",
+            audio_attention_resolutions="-1", use_scale_shift_norm=True,
+            resblock_updown=True, use_fp16=True, use_checkpoint=True,
+        )
+        tmodel = MultimodalUNet(tcfg)
+        tdiff = create_gaussian_diffusion(steps=1000, noise_schedule="linear")
+        TB = 4
+        trng = jax.random.PRNGKey(0)
+        tparams = jax.jit(tmodel.init, static_argnames=("train",))(
+            {"params": trng, "shift": trng, "dropout": trng},
+            jnp.zeros((1, 16, 64, 64, 3)), jnp.zeros((1, 25600, 1)),
+            jnp.zeros((1,), jnp.int32),
+        )["params"]
+        ttx = make_optimizer(lr=1e-4)
+        tstate = create_train_state(tparams, ttx, ema_rates=(0.9999,))
+        tstep = jax.jit(make_train_step(tmodel, tdiff, ttx), donate_argnums=0)
+        tbatch = {
+            "video": jax.random.normal(trng, (TB, 16, 64, 64, 3), jnp.float32),
+            "audio": jax.random.normal(trng, (TB, 25600, 1), jnp.float32),
+        }
+        tstate, tm = tstep(tstate, tbatch, trng)
+        jax.block_until_ready(tm["loss"])
+        t0 = _time.perf_counter()
+        for _ in range(10):
+            tstate, tm = tstep(tstate, tbatch, trng)
+        jax.block_until_ready(tm["loss"])
+        train_ms = (_time.perf_counter() - t0) / 10 * 1000
+        train_ex_per_sec = TB / train_ms * 1000
+        del tstate
+    except Exception as e:  # never let the train probe kill the headline
+        print(f"# train-step probe skipped: {e}", flush=True)
+
     # -- combine -----------------------------------------------------------------
     t_per_pair = NFE_BASE * base_s_per_pair + NFE_SR * sr_s
     pairs_per_sec = 1.0 / t_per_pair
@@ -169,6 +217,10 @@ def main():
                     "flops_per_pair_total": flops_per_pair,
                     "baseline": "analytic A100 fp16 estimate (312e12 * 0.35 util)",
                     "baseline_pairs_per_sec": round(baseline, 4),
+                    "train_step_ms_b4_remat": round(train_ms, 1) if train_ms else None,
+                    "train_examples_per_sec": (
+                        round(train_ex_per_sec, 2) if train_ex_per_sec else None
+                    ),
                     "device": str(jax.devices()[0]),
                 },
             }
