@@ -22,7 +22,13 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .attention import TokenSelfAttention
-from .layers import GroupNormFP32, TimeEmbedding, image_downsample, image_upsample
+from .layers import (
+    GroupNormFP32,
+    TimeEmbedding,
+    cat_parts,
+    image_downsample,
+    image_upsample,
+)
 
 Dtype = Any
 zeros_init = nn.initializers.zeros
@@ -83,13 +89,8 @@ class ImageResBlock(nn.Module):
         dt = cfg.compute_dtype
         conv_kw = dict(dtype=dt, param_dtype=jnp.float32, padding="SAME")
 
-        def cat(parts):
-            if not isinstance(parts, tuple):
-                return parts
-            return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
-
         h = GroupNormFP32(name="norm_in")(x)
-        h = cat(jax.tree.map(nn.silu, h))
+        h = cat_parts(jax.tree.map(nn.silu, h))
         if self.down:
             h, x = image_downsample(h), jax.tree.map(image_downsample, x)
         elif self.up:
@@ -114,7 +115,7 @@ class ImageResBlock(nn.Module):
         )(h)
 
         if self.out_ch == self.in_ch:
-            skip = cat(x)
+            skip = cat_parts(x)
         else:
             from .layers import PointwiseFromParts
 

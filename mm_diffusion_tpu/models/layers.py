@@ -104,7 +104,7 @@ class GroupNormFP32(nn.Module):
 
         b = parts[0].shape[0]
         red = tuple(range(1, parts[0].ndim - 1))
-        n = ch // groups * 1
+        n = ch // groups
         for d in red:
             n *= parts[0].shape[d]
 
@@ -118,7 +118,9 @@ class GroupNormFP32(nn.Module):
         gsum = csum.reshape(b, groups, -1).sum(-1)
         gsumsq = csumsq.reshape(b, groups, -1).sum(-1)
         mean = gsum / n
-        var = gsumsq / n - jnp.square(mean)
+        # clamp: E[x^2]-E[x]^2 can go slightly negative from fp32 roundoff
+        # on near-constant groups (flax's _compute_stats does the same clip)
+        var = jnp.maximum(gsumsq / n - jnp.square(mean), 0.0)
         rstd = jax.lax.rsqrt(var + 1e-5)
         cpg = ch // groups
         mean_c = jnp.repeat(mean, cpg, axis=-1)  # [B, C]
@@ -138,7 +140,15 @@ class GroupNormFP32(nn.Module):
             # stays bf16), cast back to the activation dtype on the way out.
             outs.append((p.astype(jnp.float32) * cs + cb).astype(p.dtype))
             off += w
-        return tuple(outs) if isinstance(x, tuple) else outs[0]
+        return tuple(outs)
+
+
+def cat_parts(x):
+    """Materialize a virtual-concat tuple (no-op for plain arrays).  The
+    concat sits next to its elementwise consumer so XLA fuses it there."""
+    if not isinstance(x, tuple):
+        return x
+    return x[0] if len(x) == 1 else jnp.concatenate(x, axis=-1)
 
 
 class PointwiseFromParts(nn.Module):
@@ -156,7 +166,6 @@ class PointwiseFromParts(nn.Module):
     lead_ones: int
     zero_init: bool = False
     dtype: Dtype = jnp.bfloat16
-    formulation: str = "conv"  # "conv": per-part 1x1 conv_general; "dot": dot_general
 
     @nn.compact
     def __call__(self, parts):
@@ -170,23 +179,17 @@ class PointwiseFromParts(nn.Module):
         off = 0
         for p in parts:
             ci = p.shape[-1]
-            if self.formulation == "conv":
-                # 1x1 conv_general keeps the operand/result in XLA's conv
-                # layout (no relayout copies next to the 3x3 convs) and the
-                # partial add fuses into the second conv's epilogue.
-                sp = "DHW"[3 - (p.ndim - 2) :]
-                dn = (f"N{sp}C", f"{sp}IO", f"N{sp}C")
-                wi = w[off : off + ci].reshape((1,) * (p.ndim - 2) + (ci, self.features))
-                y = jax.lax.conv_general_dilated(
-                    p.astype(self.dtype), wi, (1,) * (p.ndim - 2), "VALID",
-                    dimension_numbers=dn,
-                )
-            else:
-                y = jax.lax.dot_general(
-                    p.astype(self.dtype),
-                    w[off : off + ci],
-                    (((p.ndim - 1,), (0,)), ((), ())),
-                )
+            # 1x1 conv_general (not dot_general) keeps the operand/result in
+            # XLA's conv layout — the dot formulation forced relayout copies
+            # next to every neighboring 3x3 conv (profiled round 2) — and
+            # the partial add fuses into the second conv's epilogue.
+            sp = "DHW"[3 - (p.ndim - 2) :]
+            dn = (f"N{sp}C", f"{sp}IO", f"N{sp}C")
+            wi = w[off : off + ci].reshape((1,) * (p.ndim - 2) + (ci, self.features))
+            y = jax.lax.conv_general_dilated(
+                p.astype(self.dtype), wi, (1,) * (p.ndim - 2), "VALID",
+                dimension_numbers=dn,
+            )
             out = y if out is None else out + y
             off += ci
         assert off == self.in_features, (off, self.in_features)

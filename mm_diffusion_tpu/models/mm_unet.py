@@ -28,6 +28,7 @@ from .layers import (
     TimeEmbedding,
     VideoConv,
     audio_downsample,
+    cat_parts,
     audio_upsample,
     video_downsample,
     video_upsample,
@@ -272,18 +273,13 @@ class MMResBlock(nn.Module):
         cfg, spec, train = self.cfg, self.spec, self.train
         dt = cfg.compute_dtype
 
-        def cat(parts):
-            if not isinstance(parts, tuple):
-                return parts
-            return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
-
         video_h = GroupNormFP32(name="video_norm_in")(video)
-        video_h = cat(jax.tree.map(nn.silu, video_h))
+        video_h = cat_parts(jax.tree.map(nn.silu, video_h))
         video_h = VideoConv(
             spec.out_ch, 3, conv_type=cfg.video_type, dtype=dt, name="video_conv_in"
         )(video_h)
         audio_h = GroupNormFP32(name="audio_norm_in")(audio)
-        audio_h = cat(jax.tree.map(nn.silu, audio_h))
+        audio_h = cat_parts(jax.tree.map(nn.silu, audio_h))
         audio_h = AudioConv(
             spec.out_ch, 3, dilation=spec.audio_dilation, dtype=dt, name="audio_conv_in"
         )(audio_h)
@@ -324,7 +320,7 @@ class MMResBlock(nn.Module):
         )(audio_h)
 
         if spec.out_ch == spec.in_ch:
-            video_skip, audio_skip = cat(video), cat(audio)
+            video_skip, audio_skip = cat_parts(video), cat_parts(audio)
         else:
             video_skip = VideoConv(
                 spec.out_ch, 1, conv_type="3d", dtype=dt, name="video_skip"

@@ -239,14 +239,26 @@ def _self_bwd_chunked_kernel(
         dqkv_ref[0, :, sl_v] = dv.astype(dqkv_ref.dtype)
 
 
+def _qblock_for(t: int, target: int = 256):
+    """Largest divisor of ``t`` that is <= target (None if none >= 8):
+    the chunk size must divide t AND stay within the VMEM budget the fit
+    guard was computed with — silently falling back to qblock=t would
+    re-create exactly the one-shot footprint the chunked path exists to
+    avoid."""
+    for q in range(min(target, t), 7, -1):
+        if t % q == 0:
+            return q
+    return None
+
+
 def _self_attention_bwd_chunked_pallas(
     qkv: jnp.ndarray, g: jnp.ndarray, num_heads: int, qblock: int = 256
 ) -> jnp.ndarray:
     n, t, c3 = qkv.shape
     c = c3 // 3
     d = c // num_heads
-    if t % qblock:
-        qblock = t  # degenerate; only reached for shapes that fit one-shot
+    qblock = _qblock_for(t, qblock)
+    assert qblock is not None, (t, "caller must check self_attention_bwd_chunked_fits")
     kernel = functools.partial(
         _self_bwd_chunked_kernel, num_heads=num_heads, head_dim=d, qblock=qblock
     )
@@ -309,11 +321,14 @@ def self_attention_bwd_fits(n: int, t: int, c: int, num_heads: int) -> bool:
 
 
 def self_attention_bwd_chunked_fits(t: int, c: int, qblock: int = 256) -> bool:
-    """VMEM guard for the chunked backward: full-T blocks + [qblock, T]
-    chunk tiles."""
+    """VMEM guard for the chunked backward: full-T blocks + [qb, T] chunk
+    tiles, where qb is the divisor of t the kernel will actually use."""
+    qb = _qblock_for(t, qblock)
+    if qb is None:
+        return False
     blocks = 7 * t * c * 2  # qkv + g + dqkv, bf16
-    chunk = 4 * qblock * t * 4  # logits/p/dp/ds f32
-    acc = 3 * t * (c // 1) * 4 // 1  # dk/dv/dq accumulators (per-head slices)
+    chunk = 4 * qb * t * 4  # logits/p/dp/ds f32
+    acc = 3 * t * c * 4  # dk/dv/dq accumulators (per-head slices)
     return (blocks + chunk + acc) < 12_500_000
 
 
@@ -662,7 +677,7 @@ def _banded_packed_bwd_rule(local_window, num_heads, channels, res, g):
         and not _interpret()
         and q_src.shape[-1] == 3 * c
         and kv_src.shape[-1] == 3 * c
-        and banded_fits(tq, tk, c, num_heads, qkv_packed=True)
+        and banded_bwd_fits(tq, tk, c, num_heads)
     ):
         # One-shot banded backward kernel: the f -> (f+shift) % F frame map
         # is bijective at lw==1, so dkv scatters through the same modular
@@ -698,12 +713,23 @@ def banded_fits(
     dtype_bytes: int = 2,
     qkv_packed: bool = False,
 ) -> bool:
-    """VMEM guard for the banded kernel blocks + scratch."""
+    """VMEM guard for the banded forward kernel blocks + scratch."""
     w = 3 if qkv_packed else 2  # packed blocks carry the full 3C lanes
-    blocks = ((1 + (w - 1)) * tq * c + tk * w * c) * dtype_bytes
+    q_and_out = (w + 1) * tq * c  # q block (wC lanes when packed) + C-wide out
+    blocks = (q_and_out + tk * w * c) * dtype_bytes
     scratch = tq * c * 4 + 2 * tq * num_heads * 4
     logits = tq * tk * 4 * 2
     return (blocks + scratch + logits) < 10 * 1024 * 1024 and c % num_heads == 0
+
+
+def banded_bwd_fits(tq: int, tk: int, c: int, num_heads: int) -> bool:
+    """VMEM guard for the lw==1 packed banded backward: its blocks are
+    13C wide (q/kv/g/dq/dkv) and it holds ~4 f32 [Tq, Tk] tiles — roughly
+    2x the forward footprint, so it needs its own accounting (same bug
+    class as the self-attention backward guard, commit 798527e)."""
+    blocks = (7 * tq * c + 6 * tk * c) * 2  # q+g+dq (3C+C+3C) | kv+dkv (3C+3C)
+    tiles = 4 * tq * tk * 4  # logits / p / dp / ds f32
+    return (blocks + tiles) < 10 * 1024 * 1024 and c % num_heads == 0
 
 
 def banded_cross_attention_xla(

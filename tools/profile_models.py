@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-BATCH = int(__import__("os").environ.get("PROF_BATCH", "8"))
+BATCH = int(os.environ.get("PROF_BATCH", "8"))
 FRAMES = 16
 SR_SIZE = 256
 
