@@ -642,13 +642,13 @@ def _banded_fwd_rule(q, kv, shift, local_window, num_heads):
 
 def _banded_bwd_rule(local_window, num_heads, res, g):
     q, kv, shift = res
-    # Backward via the reference formulation (jnp): correctness-first; the
-    # training step wraps blocks in remat anyway, and sampling (the headline
-    # path) never differentiates.  The window materialization here is the
-    # gather the forward avoids — acceptable on the rare grad path
-    # (gradient-guided zero-shot conditioning + training).
+    # Fallback backward differentiates the ROLL-based formulation (same math
+    # as the take-based reference, parity-tested): jnp.take with a traced
+    # index matrix lowers to per-(frame, j) dynamic slices on TPU and
+    # measurably regressed the train step when more sites moved onto the
+    # kernel forward.
     def f(q_, kv_):
-        return banded_cross_attention_reference(
+        return banded_cross_attention_xla(
             q_, kv_, shift, local_window, num_heads
         )
 
@@ -788,7 +788,8 @@ def _banded_packed_bwd_rule(local_window, num_heads, channels, res, g):
         return dq_src, dkv_src, None
 
     def f(q_, kv_):
-        return banded_cross_attention_reference(
+        # roll-based formulation: identical math, TPU-friendly gather
+        return banded_cross_attention_xla(
             q_, kv_, shift, local_window, num_heads
         )
 
