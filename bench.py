@@ -144,6 +144,45 @@ def main():
     sr_s = time_chained(sr_eval, sr_x, n_chain=10)
     sr_ms = sr_s * 1000.0
 
+    # -- real pipeline: jitted sample_base_and_sr (VERDICT r2 weak #4) ---------
+    # The actual production path — base 20-NFE DPM-Solver + ddim25 SR per clip
+    # through the scan/solver glue — timed end-to-end, so sampler-side
+    # regressions show up even when raw model evals don't move.
+    pipeline_pairs_per_sec = None
+    try:
+        from mm_diffusion_tpu.configs import create_gaussian_diffusion
+        from mm_diffusion_tpu.sampling import (
+            build_base_sampler,
+            build_sr_sampler,
+            sample_base_and_sr,
+        )
+
+        diffusion = create_gaussian_diffusion(steps=1000, noise_schedule="linear")
+        sr_diffusion = create_gaussian_diffusion(
+            steps=1000, learn_sigma=True, noise_schedule="linear",
+            timestep_respacing=f"ddim{NFE_SR}",
+        )
+        base = build_base_sampler(
+            model, diffusion, variables["params"], sample_fn="dpm_solver",
+            steps=NFE_BASE,
+        )
+        sr = build_sr_sampler(
+            sr_model, sr_diffusion, sr_vars["params"], sample_fn="ddim",
+            steps=NFE_SR,
+        )
+        pipe = jax.jit(
+            lambda r: sample_base_and_sr(base, sr, r, BATCH, SR_SIZE, FRAMES)
+        )
+        out = pipe(jax.random.PRNGKey(0))
+        jax.block_until_ready(out)  # compile + warm
+        t0 = time.perf_counter()
+        out = pipe(jax.random.PRNGKey(1))
+        jax.block_until_ready(out)
+        pipeline_pairs_per_sec = BATCH / (time.perf_counter() - t0)
+        del out
+    except Exception as e:  # never let the pipeline probe kill the headline
+        print(f"# pipeline probe skipped: {e}", flush=True)
+
     # -- training step (real config, b4, remat) --------------------------------
     train_ms = train_ex_per_sec = None
     try:
@@ -214,6 +253,11 @@ def main():
                     "base_only_pairs_per_sec": round(base_only_pairs_per_sec, 4),
                     "sr_eval_ms_16f_256": round(sr_ms, 2),
                     "sr_seconds_per_clip_ddim25": round(NFE_SR * sr_s, 3),
+                    "pipeline_pairs_per_sec": (
+                        round(pipeline_pairs_per_sec, 4)
+                        if pipeline_pairs_per_sec
+                        else None
+                    ),
                     "flops_per_pair_total": flops_per_pair,
                     "baseline": "analytic A100 fp16 estimate (312e12 * 0.35 util)",
                     "baseline_pairs_per_sec": round(baseline, 4),

@@ -14,6 +14,8 @@ Re-design of `mm_diffusion/common.py` for this environment:
 from __future__ import annotations
 
 import os
+import shutil
+import subprocess
 import wave
 from typing import Optional
 
@@ -101,6 +103,38 @@ def save_image(img: np.ndarray, path: str) -> str:
     return path
 
 
+def _ffmpeg_binary() -> Optional[str]:
+    """Resolve the ffmpeg binary used for AV muxing. ``MMDIFF_FFMPEG``
+    overrides PATH lookup (also lets tests inject a stub binary)."""
+    return os.environ.get("MMDIFF_FFMPEG") or shutil.which("ffmpeg")
+
+
+def mux_av(video_path: str, audio_path: str, out_path: str) -> Optional[str]:
+    """Mux a video file and an audio file into one container via ffmpeg
+    (parity: save_multimodal's moviepy mux, common.py:46-54).
+
+    Returns ``out_path`` on success, ``None`` when no ffmpeg binary exists or
+    the mux fails (callers fall back to side-by-side files).
+    """
+    ffmpeg = _ffmpeg_binary()
+    if ffmpeg is None:
+        return None
+    cmd = [
+        ffmpeg, "-y", "-loglevel", "error",
+        "-i", video_path, "-i", audio_path,
+        "-c:v", "copy", "-c:a", "aac", "-shortest", out_path,
+    ]
+    try:
+        proc = subprocess.run(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, timeout=120
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+    if proc.returncode != 0 or not os.path.exists(out_path):
+        return None
+    return out_path
+
+
 def save_multimodal(
     video: np.ndarray,
     audio: np.ndarray,
@@ -110,13 +144,27 @@ def save_multimodal(
 ) -> tuple:
     """Joint AV save (parity: save_multimodal, common.py:46-54).
 
-    Without ffmpeg in the image we cannot mux into one container; we emit
-    ``<base>.mp4`` (or .gif) + ``<base>.wav`` with the same basename.
+    When an ffmpeg binary is available (PATH or ``MMDIFF_FFMPEG``) the video
+    and audio are muxed into one ``<base>.mp4`` container (the reference used
+    moviepy+ffmpeg); otherwise we emit side-by-side ``<base>.mp4`` (or .gif)
+    + ``<base>.wav`` with the same basename.
     """
-    vpath = save_video(video, base_path + ".mp4", fps=fps)
     apath = base_path + ".wav"
     save_audio(audio, apath, audio_rate)
-    return vpath, apath
+    vpath = save_video(video, base_path + "_video.mp4", fps=fps)
+    if vpath.endswith(".mp4"):
+        muxed = mux_av(vpath, apath, base_path + ".mp4")
+        if muxed is not None:
+            os.remove(vpath)
+            os.remove(apath)
+            return (muxed,)
+    # fallback: side-by-side with matching basenames
+    final_v = os.path.join(
+        os.path.dirname(vpath),
+        os.path.basename(vpath).replace("_video", ""),
+    )
+    os.replace(vpath, final_v)
+    return final_v, apath
 
 
 def save_video_grid(videos: np.ndarray, path: str, fps: int = 10, ncols: Optional[int] = None):

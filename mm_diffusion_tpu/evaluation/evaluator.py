@@ -17,7 +17,7 @@ from typing import Callable, Dict, Iterator, Optional
 
 import numpy as np
 
-from ..data.video import load_data
+from ..data.video import list_video_files, load_data
 from ..utils import logger
 from .audio_embed import LogMelEmbedder
 from .metrics import frechet_distance, polynomial_mmd, preprocess_videos_for_i3d
@@ -147,6 +147,16 @@ def eval_multimodal(
             audio_embedder_name = "logmel_fallback"
 
     def collect(path):
+        # The loader is an infinite generator: a directory with fewer clips
+        # than eval_num silently loops over duplicates (the reference shares
+        # this flaw, evaluator.py:149-160) — make the duplication loud.
+        n_files = len(list_video_files(path))
+        if 0 < n_files < eval_num:
+            log.log(
+                f"eval WARNING: {path} holds {n_files} clips but eval_num="
+                f"{eval_num} — embeddings will repeat clips "
+                f"{eval_num / max(n_files, 1):.1f}x; metrics are biased low"
+            )
         vid_emb, aud_emb, av_scores = [], [], []
         n = 0
         for batch in _dir_loader(path, batch_size):

@@ -39,8 +39,17 @@ def p_sample_loop(
     clip_denoised: bool = True,
     denoised_fn=None,
     cond_fn=None,
+    return_trajectory: bool = False,
 ) -> PyTree:
-    """Full ancestral sampling from x_T (parity: ref :476-582), as a scan."""
+    """Full ancestral sampling from x_T (parity: ref :476-582), as a scan.
+
+    With ``return_trajectory=True`` also returns the per-step intermediates
+    stacked on a leading axis ordered t=T-1..0 (parity:
+    p_sample_loop_progressive, multimodal_gaussian_diffusion.py:523-582 —
+    the reference yields; here the scan's ys carry the whole trajectory, so
+    memory is num_timesteps x state — use respaced diffusions for long runs).
+    Returns ``(x_0, trajectory)`` in that mode, else just ``x_0``.
+    """
     b = _batch_size(x_T)
     n = diffusion.num_timesteps
 
@@ -57,10 +66,10 @@ def p_sample_loop(
             denoised_fn=denoised_fn,
             cond_fn=cond_fn,
         )
-        return (out["sample"], rng), None
+        return (out["sample"], rng), (out["sample"] if return_trajectory else None)
 
-    (x, _), _ = jax.lax.scan(body, (x_T, rng), jnp.arange(n - 1, -1, -1))
-    return x
+    (x, _), traj = jax.lax.scan(body, (x_T, rng), jnp.arange(n - 1, -1, -1))
+    return (x, traj) if return_trajectory else x
 
 
 def ddim_sample_loop(
@@ -72,8 +81,10 @@ def ddim_sample_loop(
     denoised_fn=None,
     cond_fn=None,
     eta: float = 0.0,
+    return_trajectory: bool = False,
 ) -> PyTree:
-    """DDIM sampling loop (parity: ref :955-1046)."""
+    """DDIM sampling loop (parity: ref :955-1046).  ``return_trajectory``
+    as in :func:`p_sample_loop` (parity: ddim_sample_loop_progressive)."""
     b = _batch_size(x_T)
     n = diffusion.num_timesteps
 
@@ -91,10 +102,10 @@ def ddim_sample_loop(
             cond_fn=cond_fn,
             eta=eta,
         )
-        return (out["sample"], rng), None
+        return (out["sample"], rng), (out["sample"] if return_trajectory else None)
 
-    (x, _), _ = jax.lax.scan(body, (x_T, rng), jnp.arange(n - 1, -1, -1))
-    return x
+    (x, _), traj = jax.lax.scan(body, (x_T, rng), jnp.arange(n - 1, -1, -1))
+    return (x, traj) if return_trajectory else x
 
 
 def ddim_reverse_loop(

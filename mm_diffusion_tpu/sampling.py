@@ -24,6 +24,7 @@ from .samplers import (
     NoiseScheduleVP,
     conditional_p_sample_loop,
     ddim_sample_loop,
+    model_input_time,
     p_sample_loop,
 )
 
@@ -82,8 +83,9 @@ def build_base_sampler(
 
         def cont_model(x, t_cont):
             b = x["video"].shape[0]
-            t_in = ((t_cont - 1.0 / ns.total_N) * ns.total_N).astype(jnp.int32)
-            t_in = jnp.broadcast_to(jnp.atleast_1d(t_in), (b,))
+            t_in = jnp.broadcast_to(
+                jnp.atleast_1d(model_input_time(ns, t_cont)), (b,)
+            )
             # fresh RS-MMA shift per NFE, keyed by the (deterministic) step time
             shift_rng = jax.random.fold_in(jax.random.PRNGKey(0), t_in[0])
             return raw(x, t_in, shift_rng, strip_sigma=True)
@@ -201,8 +203,9 @@ def build_sr_sampler(
         def sr(rng, low_res, x_T=None):
             def cont_model(x, t_cont):
                 b = x.shape[0]
-                t_in = ((t_cont - 1.0 / ns.total_N) * ns.total_N).astype(jnp.int32)
-                t_in = jnp.broadcast_to(jnp.atleast_1d(t_in), (b,))
+                t_in = jnp.broadcast_to(
+                    jnp.atleast_1d(model_input_time(ns, t_cont)), (b,)
+                )
                 return raw(x, t_in, low_res, strip_sigma=True)
 
             solver = DPMSolver(cont_model, ns, predict_x0=(sample_fn == "dpm_solver++"),
@@ -247,15 +250,34 @@ def sample_base_and_sr(
     n: int,
     sr_size: int,
     frames: int,
+    sr_all_frames: bool = False,
 ):
     """Full pipeline: base joint AV sample -> per-frame SR with shared
-    per-clip noise (parity: multimodal_sample_sr.py:101-240)."""
+    per-clip noise (parity: multimodal_sample_sr.py:101-240).
+
+    By default the SR stage runs clip-by-clip under ``lax.map`` (one
+    compiled 16-frame body, sequential over clips) so the 256^2 SR
+    activations stay bounded at any base batch size; ``sr_all_frames=True``
+    batches all n*frames frames through one SR call instead (the reference's
+    layout, fine for small n).
+    """
     rng, k_base, k_noise, k_sr = jax.random.split(rng, 4)
     out = base_sampler(k_base, n)
     video, audio = out["video"], out["audio"]
     b, f, h, w, c = video.shape
-    low_res = video.reshape(b * f, h, w, c)
-    x_T = shared_clip_noise(k_noise, b, f, sr_size)
-    sr_frames = sr_sampler(k_sr, low_res, x_T)
-    sr_video = sr_frames.reshape(b, f, sr_size, sr_size, c)
+    if sr_all_frames or b == 1:
+        low_res = video.reshape(b * f, h, w, c)
+        x_T = shared_clip_noise(k_noise, b, f, sr_size)
+        sr_frames = sr_sampler(k_sr, low_res, x_T)
+        sr_video = sr_frames.reshape(b, f, sr_size, sr_size, c)
+    else:
+
+        def one_clip(args):
+            idx, clip = args  # clip: [f, h, w, c]
+            k_n = jax.random.fold_in(k_noise, idx)
+            k_s = jax.random.fold_in(k_sr, idx)
+            x_T = shared_clip_noise(k_n, 1, f, sr_size)
+            return sr_sampler(k_s, clip, x_T)
+
+        sr_video = jax.lax.map(one_clip, (jnp.arange(b), video))
     return {"video": video, "audio": audio, "sr_video": sr_video}

@@ -53,7 +53,16 @@ def restore_checkpoint(
     if step is None:
         step = mgr.latest_step()
     assert step is not None, f"no checkpoint found in {ckpt_dir}"
-    restored = mgr.restore(step, args=ocp.args.StandardRestore(abstract_state))
+    try:
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(abstract_state))
+    except Exception as e:
+        mgr.close()
+        raise RuntimeError(
+            f"checkpoint restore failed for {ckpt_dir} step {step}. If this "
+            "state predates the Dense [C,C] attention-output-projection layout "
+            "(old layout: DenseGeneral [H,D,C]), it is incompatible — see "
+            "docs/MIGRATION.md 'Native checkpoint layout history'."
+        ) from e
     mgr.close()
     return restored
 

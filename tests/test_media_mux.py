@@ -1,0 +1,97 @@
+"""AV container muxing (parity: save_multimodal's moviepy mux,
+common.py:46-54) exercised via a stub ffmpeg binary, mirroring how
+test_data_audio.py stubs the decode chain."""
+
+import os
+import stat
+
+import numpy as np
+import pytest
+
+from mm_diffusion_tpu.data import media
+
+
+def _write_stub_ffmpeg(tmp_path, behavior: str = "ok") -> str:
+    """A fake ffmpeg that 'muxes' by concatenating its two -i inputs."""
+    path = tmp_path / "ffmpeg"
+    if behavior == "ok":
+        body = """#!/usr/bin/env python3
+import sys
+args = sys.argv[1:]
+inputs = [args[i + 1] for i, a in enumerate(args) if a == "-i"]
+out = args[-1]
+with open(out, "wb") as f:
+    for p in inputs:
+        with open(p, "rb") as g:
+            f.write(g.read())
+"""
+    else:  # failing mux
+        body = "#!/usr/bin/env python3\nimport sys; sys.exit(1)\n"
+    path.write_text(body)
+    path.chmod(path.stat().st_mode | stat.S_IEXEC)
+    return str(path)
+
+
+@pytest.fixture
+def av_pair():
+    rng = np.random.default_rng(0)
+    video = rng.uniform(-1, 1, (4, 16, 16, 3)).astype(np.float32)
+    audio = rng.uniform(-0.5, 0.5, (800, 1)).astype(np.float32)
+    return video, audio
+
+
+def test_mux_with_stub_ffmpeg(tmp_path, monkeypatch, av_pair):
+    video, audio = av_pair
+    monkeypatch.setenv("MMDIFF_FFMPEG", _write_stub_ffmpeg(tmp_path))
+    out = media.save_multimodal(video, audio, str(tmp_path / "mm"))
+    # one container, intermediates cleaned up
+    assert out == (str(tmp_path / "mm.mp4"),)
+    assert os.path.exists(out[0]) and os.path.getsize(out[0]) > 0
+    assert not os.path.exists(str(tmp_path / "mm.wav"))
+    assert not os.path.exists(str(tmp_path / "mm_video.mp4"))
+
+
+def test_mux_failure_falls_back_side_by_side(tmp_path, monkeypatch, av_pair):
+    video, audio = av_pair
+    monkeypatch.setenv(
+        "MMDIFF_FFMPEG", _write_stub_ffmpeg(tmp_path, behavior="fail")
+    )
+    out = media.save_multimodal(video, audio, str(tmp_path / "mm"))
+    assert len(out) == 2
+    vpath, apath = out
+    assert os.path.exists(vpath) and os.path.exists(apath)
+    assert "_video" not in os.path.basename(vpath)
+
+
+def test_no_ffmpeg_side_by_side(tmp_path, monkeypatch, av_pair):
+    video, audio = av_pair
+    monkeypatch.setenv("MMDIFF_FFMPEG", "")
+    monkeypatch.setenv("PATH", str(tmp_path))  # empty dir: no real ffmpeg
+    out = media.save_multimodal(video, audio, str(tmp_path / "mm"))
+    assert len(out) == 2
+    assert all(os.path.exists(p) for p in out)
+
+
+def test_eval_dir_size_warning(tmp_path, capsys):
+    """evaluator warns when a directory holds fewer clips than eval_num
+    (VERDICT r2 weak #5): duplicated embeddings must be loud."""
+    from mm_diffusion_tpu.data import media as m
+
+    rng = np.random.default_rng(1)
+    for d in ("real", "fake"):
+        os.makedirs(tmp_path / d)
+        for i in range(2):
+            vid = rng.uniform(-1, 1, (16, 32, 32, 3)).astype(np.float32)
+            aud = rng.uniform(-0.5, 0.5, (70560, 1)).astype(np.float32)
+            m.save_multimodal(vid, aud, str(tmp_path / d / f"c{i}"), fps=10,
+                              audio_rate=44100)
+
+    from mm_diffusion_tpu.evaluation.evaluator import eval_multimodal
+
+    out = eval_multimodal(
+        str(tmp_path / "real"), str(tmp_path / "fake"), eval_num=8,
+        batch_size=2, allow_fallback=True,
+    )
+    captured = capsys.readouterr()
+    assert "WARNING" in captured.out or "WARNING" in captured.err
+    assert np.isfinite(out["fvd"])

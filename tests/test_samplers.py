@@ -236,3 +236,30 @@ def test_diverse_loop_shares_noise_outside_window(setup):
     )(x_T, jax.random.PRNGKey(12))
     v2 = np.asarray(out2["video"])
     np.testing.assert_allclose(v2[0], v2[1], rtol=1e-5, atol=1e-6)
+
+
+def test_trajectory_return(setup):
+    """Progressive sampling parity (p/ddim_sample_loop_progressive,
+    multimodal_gaussian_diffusion.py:523-582): intermediates stack on a
+    leading axis ordered t=T-1..0 and end at the final sample."""
+    diff, x0, eps_model, x_T = setup
+    final, traj = jax.jit(
+        lambda xT, rng: ddim_sample_loop(
+            diff, eps_model, xT, rng, return_trajectory=True
+        )
+    )(x_T, jax.random.PRNGKey(4))
+    for key in ("video", "audio"):
+        assert traj[key].shape == (T,) + x_T[key].shape
+        # last intermediate IS the final sample
+        np.testing.assert_allclose(traj[key][-1], final[key], rtol=1e-6)
+        # trajectory converges: late steps much closer to x0 than early ones
+        early = float(jnp.mean(jnp.abs(traj[key][0] - x0[key])))
+        late = float(jnp.mean(jnp.abs(traj[key][-1] - x0[key])))
+        assert late < early * 0.5
+    # p_sample_loop variant: shape contract only (stochastic)
+    _, ptraj = jax.jit(
+        lambda xT, rng: p_sample_loop(
+            diff, eps_model, xT, rng, return_trajectory=True
+        )
+    )(x_T, jax.random.PRNGKey(5))
+    assert ptraj["video"].shape == (T,) + x_T["video"].shape

@@ -62,10 +62,27 @@ def top_ops(trace_dir: str, top_n: int = 40):
     return [(k, ps / 1e9, cnt[k]) for k, ps in tot.most_common(top_n)]
 
 
+def hlo_op_names(compiled_text: str):
+    """fusion/op name -> model-level op_name metadata from optimized HLO."""
+    import re
+
+    mapping = {}
+    for m in re.finditer(
+        r"%([\w\.\-]+) = [^\n]*?op_name=\"([^\"]+)\"", compiled_text
+    ):
+        mapping[m.group(1)] = m.group(2)
+    return mapping
+
+
 def profile_fn(tag, fn, args, n_iters=3):
     from mm_diffusion_tpu.utils.profiling import parse_trace
 
-    compiled = jax.jit(fn)
+    lowered = jax.jit(fn).lower(*args)
+    compiled = lowered.compile()
+    try:
+        names = hlo_op_names(compiled.as_text())
+    except Exception:
+        names = {}
     out = compiled(*args)
     jax.block_until_ready(out)
     tmp = tempfile.mkdtemp(prefix=f"trace_{tag}_")
@@ -81,9 +98,12 @@ def profile_fn(tag, fn, args, n_iters=3):
         total += ms
         print(f"{ms/n_iters:9.2f} ms  x{n:5d}  {cat}")
     print(f"{total/n_iters:9.2f} ms  TOTAL device time / iter")
-    print(f"\n===== {tag}: top individual ops =====")
-    for name, ms, n in top_ops(tmp, top_n=30):
-        print(f"{ms/n_iters:9.3f} ms  x{n:5d}  {name[:110]}")
+    print(f"\n===== {tag}: top individual ops (joined to HLO op_name) =====")
+    for name, ms, n in top_ops(tmp, top_n=40):
+        model_op = names.get(name, "")
+        # strip the jit(fn)/Model/ prefix noise
+        model_op = model_op.split("jit(fn)/")[-1][:90]
+        print(f"{ms/n_iters:9.3f} ms  x{n:5d}  {name[:40]:42s} {model_op}")
 
 
 def build_base():
@@ -142,6 +162,48 @@ def build_sr():
     return fn, (sr_x,)
 
 
+def build_train():
+    """Real-config training step (b4, remat) — the bench.py detail payload."""
+    from mm_diffusion_tpu.configs import create_gaussian_diffusion, create_model_config
+    from mm_diffusion_tpu.models.mm_unet import MultimodalUNet
+    from mm_diffusion_tpu.train.state import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    tcfg = create_model_config(
+        video_size="16,3,64,64", audio_size="1,25600", num_channels=128,
+        num_res_blocks=2, num_head_channels=64,
+        cross_attention_resolutions="2,4,8", cross_attention_windows="1,4,8",
+        cross_attention_shift=True, video_attention_resolutions="2,4,8",
+        audio_attention_resolutions="-1", use_scale_shift_norm=True,
+        resblock_updown=True, use_fp16=True, use_checkpoint=True,
+    )
+    tmodel = MultimodalUNet(tcfg)
+    tdiff = create_gaussian_diffusion(steps=1000, noise_schedule="linear")
+    TB = int(os.environ.get("PROF_TRAIN_BATCH", "4"))
+    trng = jax.random.PRNGKey(0)
+    tparams = jax.jit(tmodel.init, static_argnames=("train",))(
+        {"params": trng, "shift": trng, "dropout": trng},
+        jnp.zeros((1, 16, 64, 64, 3)), jnp.zeros((1, 25600, 1)),
+        jnp.zeros((1,), jnp.int32),
+    )["params"]
+    ttx = make_optimizer(lr=1e-4)
+    tstate = create_train_state(tparams, ttx, ema_rates=(0.9999,))
+    tstep = make_train_step(tmodel, tdiff, ttx)
+    tbatch = {
+        "video": jax.random.normal(trng, (TB, 16, 64, 64, 3), jnp.float32),
+        "audio": jax.random.normal(trng, (TB, 25600, 1), jnp.float32),
+    }
+
+    def fn(state, batch, rng):
+        new_state, metrics = tstep(state, batch, rng)
+        return metrics["loss"], new_state
+
+    return fn, (tstate, tbatch, trng)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     print("backend:", jax.default_backend(), jax.devices()[0])
@@ -151,3 +213,6 @@ if __name__ == "__main__":
     if which in ("sr", "both"):
         fn, args = build_sr()
         profile_fn("sr_16f_256", fn, args)
+    if which == "train":
+        fn, args = build_train()
+        profile_fn("train_b4_remat", fn, args)
