@@ -249,3 +249,30 @@ def test_banded_bwd_lw1_kernel_parity():
             np.asarray(dkv_src[..., c:]), np.asarray(dkv_ref), rtol=2e-4, atol=2e-4
         )
         assert float(jnp.abs(dkv_src[..., :c]).sum()) == 0.0
+
+
+@pytest.mark.parametrize("lw,shift,f", [(2, 0, 4), (3, 1, 4), (4, 2, 4), (4, 3, 8)])
+def test_banded_bwd_oneshot_kernel_parity(lw, shift, f):
+    """The lw>1 one-shot banded backward (lw dkv partials through modular
+    index_maps, summed) must match the reference VJP, including the
+    full-window case lw == F."""
+    tq, tk, heads, d = 32, 16, 2, 64
+    c = heads * d
+    q_src = jax.random.normal(jax.random.PRNGKey(31), (2, f, tq, 3 * c), jnp.float32)
+    kv_src = jax.random.normal(jax.random.PRNGKey(32), (2, f, tk, 3 * c), jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(33), (2, f, tq, c), jnp.float32)
+    dq_src, dkv_src = ba._banded_bwd_oneshot_pallas(
+        q_src, kv_src, g, shift, lw, heads, c
+    )
+    ref_fn = lambda q_, kv_: ba.banded_cross_attention_reference(
+        q_, kv_, shift, lw, heads
+    )
+    dq_ref, dkv_ref = jax.vjp(ref_fn, q_src[..., :c], kv_src[..., c:])[1](g)
+    np.testing.assert_allclose(
+        np.asarray(dq_src[..., :c]), np.asarray(dq_ref), rtol=2e-4, atol=2e-4
+    )
+    assert float(jnp.abs(dq_src[..., c:]).sum()) == 0.0
+    np.testing.assert_allclose(
+        np.asarray(dkv_src[..., c:]), np.asarray(dkv_ref), rtol=2e-4, atol=2e-4
+    )
+    assert float(jnp.abs(dkv_src[..., :c]).sum()) == 0.0
