@@ -4,6 +4,7 @@ from .mesh import (
     FSDP_AXIS,
     batch_sharding,
     batch_spec,
+    host_to_mesh,
     is_fsdp_sharded,
     make_mesh,
     params_shardings,
@@ -20,6 +21,7 @@ __all__ = [
     "FSDP_AXIS",
     "batch_sharding",
     "batch_spec",
+    "host_to_mesh",
     "is_fsdp_sharded",
     "make_mesh",
     "params_shardings",

@@ -117,17 +117,57 @@ def is_fsdp_sharded(tree) -> bool:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host-global batch onto the mesh with batch-axis sharding."""
+    """Place a batch onto the mesh with batch-axis sharding.
+
+    Single-process: ``batch`` is the global batch, placed directly.
+    Multi-process (pods / the 2-process CPU test): ``batch`` is this
+    process's LOCAL shard — the contiguous rows owned by its devices in mesh
+    order (the SPMD analogue of the reference's ``[rank::world]`` dataset
+    slicing, multimodal_datasets.py:147) — and the global array is assembled
+    via ``jax.make_array_from_process_local_data``.
+    """
     n = mesh.devices.size
     b = jax.tree_util.tree_leaves(batch)[0].shape[0]
+    sh = batch_sharding(mesh)
+    pc = jax.process_count()
+    if pc > 1:
+        if (b * pc) % n != 0:
+            raise ValueError(
+                f"local batch {b} x {pc} processes must divide over the "
+                f"mesh's {n} devices"
+            )
+        return jax.tree.map(
+            lambda l: jax.make_array_from_process_local_data(
+                sh, l, (l.shape[0] * pc,) + l.shape[1:]
+            ),
+            batch,
+        )
     if b % n != 0:
         raise ValueError(
             f"global batch size {b} must be divisible by the mesh's "
             f"{n} devices — raise --batch_size or shrink the mesh "
             f"(make_mesh(n_data=...))"
         )
-    sh = batch_sharding(mesh)
     return jax.tree.map(lambda l: jax.device_put(l, sh), batch)
+
+
+def host_to_mesh(tree, shardings):
+    """Place a host-replicated pytree onto the mesh per ``shardings``.
+
+    Single-process this is ``jax.device_put``.  Multi-process, a plain
+    device_put would need cross-host transfers (unsupported on the CPU
+    backend and needless anyway — every process holds the full value, e.g. a
+    seeded init or a restored checkpoint): each process materializes only its
+    addressable shards via ``jax.make_array_from_callback``.
+    """
+    if jax.process_count() == 1:
+        return jax.tree.map(jax.device_put, tree, shardings)
+
+    def put(leaf, sh):
+        arr = np.asarray(jax.device_get(leaf))
+        return jax.make_array_from_callback(arr.shape, sh, lambda idx: arr[idx])
+
+    return jax.tree.map(put, tree, shardings)
 
 
 def process_data_shard() -> tuple[int, int]:

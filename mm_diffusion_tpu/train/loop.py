@@ -24,6 +24,7 @@ import numpy as np
 from ..diffusion.gaussian import GaussianDiffusion
 from ..parallel import (
     batch_sharding,
+    host_to_mesh,
     make_mesh,
     replicated,
     shard_batch,
@@ -127,7 +128,7 @@ class TrainLoop:
         # moments shard ZeRO-3 style and XLA inserts the
         # all-gather / reduce-scatter pair around the step.
         self._state_sh = state_shardings(state, self.mesh, min_size_to_shard)
-        self.state = jax.device_put(state, self._state_sh)
+        self.state = host_to_mesh(state, self._state_sh)
 
         step_fn = make_train_step(model, diffusion, self.tx, accum_steps=accum_steps)
         self._train_step = jax.jit(
@@ -155,40 +156,53 @@ class TrainLoop:
         t_last = time.time()
         step = int(jax.device_get(self.state.step))
         pending = []
-        while True:
-            if max_steps is not None and step >= max_steps:
-                if pending:
-                    for m in jax.device_get(pending):
-                        log.logkvs_mean(m)
-                    pending.clear()
-                break
-            with log.profile_kv("data"):
-                batch = next(self.data)
-            metrics = self.run_step(batch)
-            step += 1
-            pending.append(metrics)
-            if step % self.log_interval == 0:
+
+        def flush():
+            if pending:
                 for m in jax.device_get(pending):  # one sync per interval
                     log.logkvs_mean(m)
                 pending.clear()
-                now = time.time()
-                log.logkv("step", step)
-                log.logkv("steps_per_sec", self.log_interval / (now - t_last))
-                t_last = now
-                log.dumpkvs()
-            if step % self.save_interval == 0:
-                self.save()
-                if self.save_preview:
-                    try:
-                        self.sample_preview(step)
-                    except Exception as e:  # preview must never kill training
-                        log.log(f"preview sampling failed: {e}")
+
+        # finally: deferred metrics must survive an exception/KeyboardInterrupt
+        # mid-interval (ADVICE r2)
+        try:
+            while True:
+                if max_steps is not None and step >= max_steps:
+                    break
+                with log.profile_kv("data"):
+                    batch = next(self.data)
+                metrics = self.run_step(batch)
+                step += 1
+                pending.append(metrics)
+                if step % self.log_interval == 0:
+                    flush()
+                    now = time.time()
+                    log.logkv("step", step)
+                    log.logkv("steps_per_sec", self.log_interval / (now - t_last))
+                    t_last = now
+                    log.dumpkvs()
+                if step % self.save_interval == 0:
+                    self.save()
+                    if self.save_preview:
+                        try:
+                            self.sample_preview(step)
+                        except Exception as e:  # preview must never kill training
+                            log.log(f"preview sampling failed: {e}")
+        finally:
+            flush()
         self.save()
 
     # ------------------------------------------------------------------
     def save(self):
-        """(parity: save, multimodal_train_util.py:470-493)"""
-        step = ckpt_lib.save_checkpoint(self.ckpt_dir, jax.device_get(self.state))
+        """(parity: save, multimodal_train_util.py:470-493)
+
+        Multi-process: every process participates in the (distributed) Orbax
+        save of the global sharded state; single-process detaches to host
+        first so donation can't invalidate the buffers mid-write."""
+        state = (
+            self.state if jax.process_count() > 1 else jax.device_get(self.state)
+        )
+        step = ckpt_lib.save_checkpoint(self.ckpt_dir, state)
         kvlogger.log(f"saved checkpoint step {step} -> {self.ckpt_dir}")
 
     # ------------------------------------------------------------------
