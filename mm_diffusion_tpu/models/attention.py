@@ -76,13 +76,21 @@ class TokenSelfAttention(nn.Module):
     channels: int
     num_heads: int
     dtype: Dtype = jnp.bfloat16
+    # channel-sum GN stats: lane-parallel formulation that avoids the stock
+    # GroupNorm's group-reshape f32 storms under jax.checkpoint (see
+    # layers.GroupNormFP32); set by blocks when cfg.use_checkpoint.
+    gn_sums: bool = False
 
     @nn.compact
     def __call__(self, x):
-        h = GroupNormFP32(name="norm")(x)
+        h = GroupNormFP32(name="norm", channel_sum_stats=self.gn_sums)(x)
         qkv = nn.Dense(
             3 * self.channels, dtype=self.dtype, param_dtype=jnp.float32, name="qkv"
         )(h)
+        # The attention custom_vjp's residual is this packed qkv; when the
+        # remat policy also saves it, the backward replay can drop the
+        # forward kernel re-run entirely (see mm_unet remat_policy).
+        qkv = checkpoint_name(qkv, "attn_qkv")
         from ..ops.block_attention import dispatch_self_attention
 
         lead = qkv.shape[:-2]
@@ -111,17 +119,20 @@ class FactorizedVideoAttention(nn.Module):
     channels: int
     num_heads: int
     dtype: Dtype = jnp.bfloat16
+    gn_sums: bool = False
 
     @nn.compact
     def __call__(self, x):
         b, f, h, w, c = x.shape
         xs = x.reshape(b * f, h * w, c)
         xs = TokenSelfAttention(
-            self.channels, self.num_heads, dtype=self.dtype, name="spatial"
+            self.channels, self.num_heads, dtype=self.dtype, name="spatial",
+            gn_sums=self.gn_sums,
         )(xs)
         xt = xs.reshape(b, f, h, w, c).transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, c)
         xt = TokenSelfAttention(
-            self.channels, self.num_heads, dtype=self.dtype, name="temporal"
+            self.channels, self.num_heads, dtype=self.dtype, name="temporal",
+            gn_sums=self.gn_sums,
         )(xt)
         return xt.reshape(b, h, w, f, c).transpose(0, 3, 1, 2, 4)
 
@@ -155,6 +166,7 @@ class RSMMACrossAttention(nn.Module):
     local_window: int
     window_shift: bool = False
     dtype: Dtype = jnp.bfloat16
+    gn_sums: bool = False
 
     @nn.compact
     def __call__(self, video, audio):
@@ -172,10 +184,10 @@ class RSMMACrossAttention(nn.Module):
         v_tokens = video.reshape(b, f * h * w, c)
         v_qkv = nn.Dense(
             3 * self.channels, dtype=self.dtype, param_dtype=jnp.float32, name="v_qkv"
-        )(GroupNormFP32(name="v_norm")(v_tokens))
+        )(GroupNormFP32(name="v_norm", channel_sum_stats=self.gn_sums)(v_tokens))
         a_qkv = nn.Dense(
             3 * self.channels, dtype=self.dtype, param_dtype=jnp.float32, name="a_qkv"
-        )(GroupNormFP32(name="a_norm")(audio))
+        )(GroupNormFP32(name="a_norm", channel_sum_stats=self.gn_sums)(audio))
 
         # Packed per-frame views: both modalities' full [B,F,T,3C] qkv feed
         # the banded attention directly — the window never materializes (the

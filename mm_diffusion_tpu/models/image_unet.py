@@ -24,6 +24,7 @@ from flax import linen as nn
 from .attention import TokenSelfAttention
 from .layers import (
     GroupNormFP32,
+    SubpixelUpConv,
     TimeEmbedding,
     cat_parts,
     image_downsample,
@@ -89,13 +90,22 @@ class ImageResBlock(nn.Module):
         dt = cfg.compute_dtype
         conv_kw = dict(dtype=dt, param_dtype=jnp.float32, padding="SAME")
 
-        h = GroupNormFP32(name="norm_in")(x)
+        # channel-sum GN only under remat AND training: eval forwards fuse
+        # better with the stock formulation (see layers.GroupNormFP32).
+        gs = cfg.use_checkpoint and train
+        h = GroupNormFP32(name="norm_in", channel_sum_stats=gs)(x)
         h = cat_parts(jax.tree.map(nn.silu, h))
         if self.down:
             h, x = image_downsample(h), jax.tree.map(image_downsample, x)
         elif self.up:
-            h, x = image_upsample(h), jax.tree.map(image_upsample, x)
-        h = nn.Conv(self.out_ch, (3, 3), name="conv_in", **conv_kw)(h)
+            # Exact upsample+conv fusion: the 3x3 conv over the nearest-2x
+            # image runs as a 2x2 phase conv at LOW resolution (16 vs 36
+            # MACs per hi-res pixel, no 4x intermediate in HBM).  Same
+            # params as the nn.Conv below — checkpoints are unaffected.
+            x = jax.tree.map(image_upsample, x)
+            h = SubpixelUpConv(self.out_ch, dtype=dt, name="conv_in")(h)
+        if not self.up:
+            h = nn.Conv(self.out_ch, (3, 3), name="conv_in", **conv_kw)(h)
 
         emb_dim = 2 * self.out_ch if cfg.use_scale_shift_norm else self.out_ch
         emb_out = nn.Dense(emb_dim, dtype=dt, param_dtype=jnp.float32, name="emb_proj")(
@@ -104,11 +114,11 @@ class ImageResBlock(nn.Module):
         dropout = nn.Dropout(cfg.dropout, deterministic=not train)
         if cfg.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out[:, None, None, :], 2, axis=-1)
-            h = GroupNormFP32(name="norm_out")(h) * (1 + scale) + shift
+            h = GroupNormFP32(name="norm_out", channel_sum_stats=gs)(h) * (1 + scale) + shift
             h = dropout(nn.silu(h))
         else:
             h = h + emb_out[:, None, None, :]
-            h = dropout(nn.silu(GroupNormFP32(name="norm_out")(h)))
+            h = dropout(nn.silu(GroupNormFP32(name="norm_out", channel_sum_stats=gs)(h)))
         h = nn.Conv(
             self.out_ch, (3, 3), kernel_init=zeros_init, bias_init=zeros_init,
             name="conv_out", **conv_kw,
@@ -137,12 +147,15 @@ class ImageAttention(nn.Module):
     channels: int
     num_heads: int
     dtype: Dtype = jnp.bfloat16
+    gn_sums: bool = False
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
         tokens = x.reshape(b, h * w, c)
-        tokens = TokenSelfAttention(self.channels, self.num_heads, dtype=self.dtype)(tokens)
+        tokens = TokenSelfAttention(
+            self.channels, self.num_heads, dtype=self.dtype, gn_sums=self.gn_sums
+        )(tokens)
         return tokens.reshape(b, h, w, c)
 
 
@@ -246,9 +259,11 @@ class ImageUNet(nn.Module):
                     else:
                         h = image_downsample(h)
                 elif spec == "upsample":
-                    h = image_upsample(h)
                     if cfg.conv_resample:
-                        h = nn.Conv(h.shape[-1], (3, 3), name=name + "_up", **conv_kw)(h)
+                        # upsample+conv fused at low res (exact, see layers)
+                        h = SubpixelUpConv(h.shape[-1], dtype=dt, name=name + "_up")(h)
+                    else:
+                        h = image_upsample(h)
                 elif isinstance(spec, _RB):
                     h = ImageResBlock(
                         spec.in_ch, spec.out_ch, cfg, up=spec.up, down=spec.down,
@@ -256,7 +271,9 @@ class ImageUNet(nn.Module):
                     )(h, emb, train=train)
                     if spec.attn_heads:
                         h = ImageAttention(
-                            spec.out_ch, spec.attn_heads, dtype=dt, name=name + "_attn"
+                            spec.out_ch, spec.attn_heads, dtype=dt,
+                            gn_sums=cfg.use_checkpoint and train,
+                            name=name + "_attn",
                         )(h)
                 else:
                     raise ValueError(spec)
@@ -272,7 +289,9 @@ class ImageUNet(nn.Module):
             h = (h, hs.pop())
             h = run(specs, h, "dec", i)
 
-        h = nn.silu(GroupNormFP32(name="out_norm")(h))
+        h = nn.silu(
+            GroupNormFP32(name="out_norm", channel_sum_stats=cfg.use_checkpoint and train)(h)
+        )
         h = nn.Conv(
             cfg.out_channels, (3, 3), kernel_init=zeros_init, bias_init=zeros_init,
             name="out_conv", **conv_kw,

@@ -19,6 +19,8 @@ TPU-native re-design of `mm_diffusion/nn.py` and the conv/resample blocks of
 from __future__ import annotations
 
 import math
+import os
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -74,6 +76,16 @@ class GroupNormFP32(nn.Module):
     """
 
     num_groups: int = 32
+    # Formulation switch for the single-array path.  The stock nn.GroupNorm
+    # formulation fuses best in a pure FORWARD (stats fold into the producing
+    # conv); but under jax.checkpoint its [.., G, C/G] group reshape is
+    # lane-hostile (C/G < 128 rides the minor dim) and the rematted backward
+    # materializes f32 copy/slice/pad storms around every _stats recompute
+    # (profiled: ~50 ms of the b4 train step).  The channel-sum formulation
+    # reduces over spatial per channel (lane-parallel) and finishes on tiny
+    # [B, G] tensors — same math, no hostile reshape.  Model code sets
+    # ``channel_sum_stats=True`` under remat/training.
+    channel_sum_stats: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -86,11 +98,16 @@ class GroupNormFP32(nn.Module):
             groups //= 2
         scale, bias = _GNParams(ch, name="GroupNorm_0")()
 
-        if not isinstance(x, tuple):
-            # Single-array fast path: the stock nn.GroupNorm formulation —
-            # XLA fuses its stats into the producing conv and its normalize
-            # into the consuming conv (profiled; the manual formulation below
-            # breaks that operand fusion and costs an extra pass per GN).
+        force_sums = (
+            self.channel_sum_stats
+            or os.environ.get("MMDIFF_GN_SUMS", "") == "1"
+        )
+        if not isinstance(x, tuple) and not force_sums:
+            # Single-array forward fast path: the stock nn.GroupNorm
+            # formulation — XLA fuses its stats into the producing conv and
+            # its normalize into the consuming conv (profiled; the manual
+            # formulation below breaks that operand fusion and costs an
+            # extra pass per GN in a forward-only eval).
             y = nn.GroupNorm(
                 num_groups=groups,
                 epsilon=1e-5,
@@ -140,7 +157,7 @@ class GroupNormFP32(nn.Module):
             # stays bf16), cast back to the activation dtype on the way out.
             outs.append((p.astype(jnp.float32) * cs + cb).astype(p.dtype))
             off += w
-        return tuple(outs)
+        return tuple(outs) if isinstance(x, tuple) else outs[0]
 
 
 def cat_parts(x):
@@ -275,6 +292,74 @@ class AudioConv(nn.Module):
             name="conv",
             **kw,
         )(x)
+
+
+class SubpixelUpConv(nn.Module):
+    """``conv3x3(nearest_up2(x))`` computed at LOW resolution — exact rewrite.
+
+    Nearest 2x replication collapses the 3x3 taps of each hi-res output
+    phase ``(a, b) in {0,1}^2`` onto a 2x2 low-res window:
+
+      rows, phase a=0 (taps i-1, i):   [w0,    w1+w2]
+      rows, phase a=1 (taps i, i+1):   [w0+w1, w2   ]   (columns identical)
+
+    One VALID 2x2 conv over the once-padded input with ``4*Co`` phase
+    channels replaces the hi-res SAME 3x3 conv: 16 vs 36 MACs per hi-res
+    pixel, N=4*Co instead of Co on the MXU, and the 4x nearest-up
+    intermediate never touches HBM.  Phase slices are interleaved
+    depth-to-space at the end (one elementwise pass, same cost as the
+    upsample write it replaces).
+
+    Param names/shapes match the ``nn.Conv(features, (3,3))`` it replaces
+    ("kernel" [3,3,Ci,Co], "bias" [Co]) so checkpoints and the torch
+    importer are unaffected.  Used by the image U-Net up blocks
+    (parity: image ResBlock h_upd + in_layers conv, guided-diffusion order;
+    the reference computes the same values at 4x the pixels).
+    """
+
+    features: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        bsz, h, w, ci = x.shape
+        co = self.features
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, ci, co), jnp.float32
+        )
+        bias = self.param("bias", zeros_init, (co,), jnp.float32)
+
+        # Collapse rows per phase: [2, 3, Ci, Co] each.
+        r0 = jnp.stack([kernel[0], kernel[1] + kernel[2]], axis=0)
+        r1 = jnp.stack([kernel[0] + kernel[1], kernel[2]], axis=0)
+        phase = []
+        for ra in (r0, r1):
+            phase.append(jnp.stack([ra[:, 0], ra[:, 1] + ra[:, 2]], axis=1))
+            phase.append(jnp.stack([ra[:, 0] + ra[:, 1], ra[:, 2]], axis=1))
+        # [2, 2, Ci, 4*Co]; phase order (a, b) = 00, 01, 10, 11.
+        k2 = jnp.concatenate(phase, axis=-1).astype(self.dtype)
+
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        y = jax.lax.conv_general_dilated(
+            xp.astype(self.dtype), k2, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # [B, H+1, W+1, 4*Co]
+        # Phase (a, b) reads rows a..a+H-1, cols b..b+W-1 of the VALID output
+        # (its 2x2 window over the padded input starts one pixel later per
+        # phase step).  Interleave to [B, 2H, 2W, Co].
+        t = jnp.stack(
+            [
+                jnp.stack(
+                    [y[:, a : a + h, b : b + w, (2 * a + b) * co : (2 * a + b + 1) * co]
+                     for b in (0, 1)],
+                    axis=3,
+                )
+                for a in (0, 1)
+            ],
+            axis=2,
+        )  # [B, H, 2, W, 2, Co]
+        out = t.reshape(bsz, 2 * h, 2 * w, co)
+        return out + bias.astype(self.dtype)
 
 
 def video_downsample(x: jnp.ndarray) -> jnp.ndarray:

@@ -15,6 +15,7 @@ the reference CLI surface maps directly.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, List, Optional, Tuple
 
 import jax
@@ -273,23 +274,37 @@ class MMResBlock(nn.Module):
         cfg, spec, train = self.cfg, self.spec, self.train
         dt = cfg.compute_dtype
 
-        video_h = GroupNormFP32(name="video_norm_in")(video)
+        # channel-sum GN only under remat AND training: eval forwards fuse
+        # better with the stock formulation (see layers.GroupNormFP32).
+        gs = cfg.use_checkpoint and train
+        video_h = GroupNormFP32(name="video_norm_in", channel_sum_stats=gs)(video)
         video_h = cat_parts(jax.tree.map(nn.silu, video_h))
         video_h = VideoConv(
             spec.out_ch, 3, conv_type=cfg.video_type, dtype=dt, name="video_conv_in"
         )(video_h)
-        audio_h = GroupNormFP32(name="audio_norm_in")(audio)
+        audio_h = GroupNormFP32(name="audio_norm_in", channel_sum_stats=gs)(audio)
         audio_h = cat_parts(jax.tree.map(nn.silu, audio_h))
         audio_h = AudioConv(
             spec.out_ch, 3, dilation=spec.audio_dilation, dtype=dt, name="audio_conv_in"
         )(audio_h)
 
+        defer_up = False
         if spec.down:
             video_h, video = video_downsample(video_h), jax.tree.map(video_downsample, video)
             audio_h, audio = audio_downsample(audio_h), jax.tree.map(audio_downsample, audio)
         elif spec.up:
-            video_h, video = video_upsample(video_h), jax.tree.map(video_upsample, video)
-            audio_h, audio = audio_upsample(audio_h), jax.tree.map(audio_upsample, audio)
+            if train:
+                video_h, video = video_upsample(video_h), jax.tree.map(video_upsample, video)
+                audio_h, audio = audio_upsample(audio_h), jax.tree.map(audio_upsample, audio)
+            else:
+                # Eval: nearest-upsample commutes EXACTLY with everything
+                # left in this block — GN (uniform replication preserves
+                # mean/var), the per-channel FiLM affine, SiLU, the 1x1
+                # convs, and the residual add — so the whole tail runs at
+                # 4x fewer pixels and ONE upsample happens at the end.
+                # Training keeps the reference order: dropout masks must
+                # stay per-(hi-res)-pixel.
+                defer_up = True
 
         emb_dim = 2 * spec.out_ch if cfg.use_scale_shift_norm else spec.out_ch
         emb_out = nn.Dense(emb_dim, dtype=dt, param_dtype=jnp.float32, name="emb_proj")(
@@ -301,16 +316,16 @@ class MMResBlock(nn.Module):
             scale, shift = jnp.split(emb_out, 2, axis=-1)
             vscale = scale[:, None, None, None, :]
             vshift = shift[:, None, None, None, :]
-            video_h = GroupNormFP32(name="video_norm_out")(video_h) * (1 + vscale) + vshift
+            video_h = GroupNormFP32(name="video_norm_out", channel_sum_stats=gs)(video_h) * (1 + vscale) + vshift
             video_h = dropout(nn.silu(video_h))
             ascale, ashift = scale[:, None, :], shift[:, None, :]
-            audio_h = GroupNormFP32(name="audio_norm_out")(audio_h) * (1 + ascale) + ashift
+            audio_h = GroupNormFP32(name="audio_norm_out", channel_sum_stats=gs)(audio_h) * (1 + ascale) + ashift
             audio_h = dropout(nn.silu(audio_h))
         else:
             video_h = video_h + emb_out[:, None, None, None, :]
-            video_h = dropout(nn.silu(GroupNormFP32(name="video_norm_out")(video_h)))
+            video_h = dropout(nn.silu(GroupNormFP32(name="video_norm_out", channel_sum_stats=gs)(video_h)))
             audio_h = audio_h + emb_out[:, None, :]
-            audio_h = dropout(nn.silu(GroupNormFP32(name="audio_norm_out")(audio_h)))
+            audio_h = dropout(nn.silu(GroupNormFP32(name="audio_norm_out", channel_sum_stats=gs)(audio_h)))
 
         video_h = VideoConv(
             spec.out_ch, 1, conv_type="3d", zero_init=True, dtype=dt, name="video_conv_out"
@@ -329,14 +344,19 @@ class MMResBlock(nn.Module):
 
         video_out = video_skip + video_h
         audio_out = audio_skip + audio_h
+        if defer_up:
+            video_out = video_upsample(video_out)
+            audio_out = audio_upsample(audio_out)
 
         if spec.video_attention:
             video_out = FactorizedVideoAttention(
-                spec.out_ch, cfg.num_heads, dtype=dt, name="video_attn"
+                spec.out_ch, cfg.num_heads, dtype=dt, name="video_attn",
+                gn_sums=gs,
             )(video_out)
         if spec.audio_attention:
             audio_out = TokenSelfAttention(
-                spec.out_ch, cfg.num_heads, dtype=dt, name="audio_attn"
+                spec.out_ch, cfg.num_heads, dtype=dt, name="audio_attn",
+                gn_sums=gs,
             )(audio_out)
         return video_out, audio_out
 
@@ -395,8 +415,15 @@ class MultimodalUNet(nn.Module):
         # 'attn_out' in TokenSelfAttention) — recomputing the Pallas
         # attention in the backward pass costs more step time than the
         # saved activations cost HBM (the conv activations, the bulk of
-        # the memory, are still rematerialized).
-        remat_policy = jax.checkpoint_policies.save_only_these_names("attn_out")
+        # the memory, are still rematerialized).  Saving the packed qkv
+        # ('attn_qkv') as well lets partial-eval drop the forward kernel
+        # replay that otherwise runs just to rebuild the custom_vjp
+        # residual (profiled ~17 ms/step b4); MMDIFF_SAVE_QKV=0 opts out
+        # if a config is HBM-bound.
+        _save = ("attn_out",) if os.environ.get(
+            "MMDIFF_SAVE_QKV", "1"
+        ) == "0" else ("attn_out", "attn_qkv")
+        remat_policy = jax.checkpoint_policies.save_only_these_names(*_save)
         maybe_remat = (
             (lambda m: nn.remat(m, static_argnums=(), policy=remat_policy))
             if cfg.use_checkpoint
@@ -422,6 +449,7 @@ class MultimodalUNet(nn.Module):
                         local_window=spec.local_window,
                         window_shift=spec.window_shift,
                         dtype=dt,
+                        gn_sums=cfg.use_checkpoint and train,
                         name=name + "_xattn",
                     )(video, audio)
                 else:
@@ -444,12 +472,12 @@ class MultimodalUNet(nn.Module):
             audio = (audio, audio_hs.pop())
             video, audio = run_specs(specs, video, audio, "dec", i)
 
-        video = nn.silu(GroupNormFP32(name="video_out_norm")(video))
+        video = nn.silu(GroupNormFP32(name="video_out_norm", channel_sum_stats=cfg.use_checkpoint and train)(video))
         video = VideoConv(
             cfg.video_out_channels, 3, conv_type="3d", zero_init=True, dtype=dt,
             name="video_out_conv",
         )(video)
-        audio = nn.silu(GroupNormFP32(name="audio_out_norm")(audio))
+        audio = nn.silu(GroupNormFP32(name="audio_out_norm", channel_sum_stats=cfg.use_checkpoint and train)(audio))
         audio = AudioConv(
             cfg.audio_out_channels, 3, zero_init=True, dtype=dt, name="audio_out_conv"
         )(audio)

@@ -9,6 +9,11 @@ import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
+# Keep the TPU plugin's boot-time registration out of test subprocesses
+# (multihost tests spawn fresh interpreters): with the pool var cleared,
+# sitecustomize skips axon registration entirely, so CPU test runs can't
+# hang on an unreachable device tunnel.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"

@@ -91,3 +91,26 @@ def test_sr_factory_matches_reference_defaults():
 
     assert diffusion.var_type == ModelVarType.LEARNED_RANGE
     assert diffusion.num_timesteps == 1000
+
+
+def test_subpixel_up_conv_exact():
+    """SubpixelUpConv == conv3x3(nearest_up2(x)) bit-for-bit-level in fp32.
+
+    The up blocks' fused low-res phase conv (layers.SubpixelUpConv) must
+    reproduce the reference order (image_unet.py Upsample -> conv) exactly —
+    it shares the nn.Conv param tree, so any drift silently corrupts
+    checkpoints trained on either path."""
+    from flax import linen as nn
+
+    from mm_diffusion_tpu.models.layers import SubpixelUpConv, image_upsample
+
+    rng = jax.random.PRNGKey(0)
+    for shape, co in [((2, 5, 7, 6), 4), ((1, 8, 8, 16), 16), ((3, 4, 4, 3), 5)]:
+        x = jax.random.normal(jax.random.PRNGKey(shape[1]), shape, jnp.float32)
+        mod = SubpixelUpConv(co, dtype=jnp.float32)
+        params = mod.init(rng, x)
+        ref = nn.Conv(
+            co, (3, 3), padding="SAME", dtype=jnp.float32, param_dtype=jnp.float32
+        ).apply({"params": params["params"]}, image_upsample(x))
+        got = mod.apply(params, x)
+        np.testing.assert_allclose(np.array(got), np.array(ref), atol=1e-5)
