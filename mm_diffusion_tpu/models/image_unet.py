@@ -15,6 +15,7 @@ after its full in_layers stack.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, List, Optional, Tuple
 
 import jax
@@ -79,9 +80,12 @@ class ImageResBlock(nn.Module):
     cfg: ImageUNetConfig
     up: bool = False
     down: bool = False
+    # train lives on the module (not the call) so nn.remat sees only array
+    # arguments — a traced bool would break the dropout determinism switch.
+    train: bool = False
 
     @nn.compact
-    def __call__(self, x, emb, *, train: bool = False):
+    def __call__(self, x, emb):
         # ``x`` may be a tuple of channel parts (decoder skip concat) — the
         # concat is virtual: GroupNormFP32 normalizes parts jointly, the
         # concat fuses into the SiLU producers, and the skip projection mixes
@@ -92,7 +96,7 @@ class ImageResBlock(nn.Module):
 
         # channel-sum GN only under remat AND training: eval forwards fuse
         # better with the stock formulation (see layers.GroupNormFP32).
-        gs = cfg.use_checkpoint and train
+        gs = cfg.use_checkpoint and self.train
         h = GroupNormFP32(name="norm_in", channel_sum_stats=gs)(x)
         h = cat_parts(jax.tree.map(nn.silu, h))
         if self.down:
@@ -111,7 +115,7 @@ class ImageResBlock(nn.Module):
         emb_out = nn.Dense(emb_dim, dtype=dt, param_dtype=jnp.float32, name="emb_proj")(
             nn.silu(emb)
         )
-        dropout = nn.Dropout(cfg.dropout, deterministic=not train)
+        dropout = nn.Dropout(cfg.dropout, deterministic=not self.train)
         if cfg.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out[:, None, None, :], 2, axis=-1)
             h = GroupNormFP32(name="norm_out", channel_sum_stats=gs)(h) * (1 + scale) + shift
@@ -237,6 +241,22 @@ class ImageUNet(nn.Module):
         h = x.astype(dt)
         conv_kw = dict(dtype=dt, param_dtype=jnp.float32, padding="SAME")
 
+        # Selective remat for training memory (parity: the reference's
+        # use_checkpoint flag wraps every ResBlock, image_unet.py ResBlock
+        # forward via CheckpointFunction).  Only blocks whose pixel count
+        # clears the threshold pay the recompute — low-res blocks hold tiny
+        # activations, so saving them costs little HBM and skips a full
+        # block recompute in the backward (same policy as MultimodalUNet).
+        remat_min_tokens = int(os.environ.get("MMDIFF_REMAT_MIN_TOKENS", "4096"))
+        remat_policy = jax.checkpoint_policies.save_only_these_names(
+            "attn_out", "attn_qkv"
+        )
+
+        def maybe_remat(m, pixels):
+            if not cfg.use_checkpoint or pixels < remat_min_tokens:
+                return m
+            return nn.remat(m, static_argnums=(), policy=remat_policy)
+
         def run(specs, h, stage, idx):
             for j, spec in enumerate(specs):
                 name = f"{stage}_{idx}_{j}"
@@ -265,10 +285,12 @@ class ImageUNet(nn.Module):
                     else:
                         h = image_upsample(h)
                 elif isinstance(spec, _RB):
-                    h = ImageResBlock(
+                    hshape = h[0].shape if isinstance(h, tuple) else h.shape
+                    block = maybe_remat(ImageResBlock, hshape[1] * hshape[2])(
                         spec.in_ch, spec.out_ch, cfg, up=spec.up, down=spec.down,
-                        name=name + "_res",
-                    )(h, emb, train=train)
+                        train=train, name=name + "_res",
+                    )
+                    h = block(h, emb)
                     if spec.attn_heads:
                         h = ImageAttention(
                             spec.out_ch, spec.attn_heads, dtype=dt,

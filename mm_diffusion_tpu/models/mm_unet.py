@@ -293,17 +293,19 @@ class MMResBlock(nn.Module):
             video_h, video = video_downsample(video_h), jax.tree.map(video_downsample, video)
             audio_h, audio = audio_downsample(audio_h), jax.tree.map(audio_downsample, audio)
         elif spec.up:
-            if train:
+            if train and cfg.dropout > 0.0:
                 video_h, video = video_upsample(video_h), jax.tree.map(video_upsample, video)
                 audio_h, audio = audio_upsample(audio_h), jax.tree.map(audio_upsample, audio)
             else:
-                # Eval: nearest-upsample commutes EXACTLY with everything
-                # left in this block — GN (uniform replication preserves
-                # mean/var), the per-channel FiLM affine, SiLU, the 1x1
-                # convs, and the residual add — so the whole tail runs at
-                # 4x fewer pixels and ONE upsample happens at the end.
-                # Training keeps the reference order: dropout masks must
-                # stay per-(hi-res)-pixel.
+                # Nearest-upsample commutes EXACTLY with everything left in
+                # this block — GN (uniform replication preserves mean/var),
+                # the per-channel FiLM affine, SiLU, the 1x1 convs, and the
+                # residual add (the reference runs in_layers BEFORE the
+                # upsample, multimodal_unet.py:441-445, so no 3x3 conv
+                # remains) — the whole tail runs at 4x fewer pixels and ONE
+                # upsample happens at the end.  The only op pinned to
+                # hi-res pixels is an active dropout mask, so the eager
+                # order survives solely for train-with-dropout>0 configs.
                 defer_up = True
 
         emb_dim = 2 * spec.out_ch if cfg.use_scale_shift_norm else spec.out_ch
@@ -424,11 +426,20 @@ class MultimodalUNet(nn.Module):
             "MMDIFF_SAVE_QKV", "1"
         ) == "0" else ("attn_out", "attn_qkv")
         remat_policy = jax.checkpoint_policies.save_only_these_names(*_save)
-        maybe_remat = (
-            (lambda m: nn.remat(m, static_argnums=(), policy=remat_policy))
-            if cfg.use_checkpoint
-            else (lambda m: m)
-        )
+        # Selective remat: low-resolution blocks hold tiny activations but
+        # still pay a full forward recompute in the backward.  Skip remat
+        # when the video token count (F*H*W) at the block's input is below
+        # the threshold — the HBM cost of saving those activations is a few
+        # hundred MB while the recompute saving is a full low-res forward.
+        remat_min_tokens = int(os.environ.get("MMDIFF_REMAT_MIN_TOKENS", "4096"))
+
+        def maybe_remat(m, video_shape):
+            if not cfg.use_checkpoint:
+                return m
+            tokens = video_shape[1] * video_shape[2] * video_shape[3]
+            if tokens < remat_min_tokens:
+                return m
+            return nn.remat(m, static_argnums=(), policy=remat_policy)
 
         def run_specs(specs, video, audio, stage, idx):
             for j, spec in enumerate(specs):
@@ -440,7 +451,10 @@ class MultimodalUNet(nn.Module):
                 elif spec == "upsample":
                     video, audio = video_upsample(video), audio_upsample(audio)
                 elif isinstance(spec, ResBlockSpec):
-                    block = maybe_remat(MMResBlock)(spec, cfg, train, name=name + "_res")
+                    vshape = video[0].shape if isinstance(video, tuple) else video.shape
+                    block = maybe_remat(MMResBlock, vshape)(
+                        spec, cfg, train, name=name + "_res"
+                    )
                     video, audio = block(video, audio, emb)
                 elif isinstance(spec, CrossAttnSpec):
                     video, audio = RSMMACrossAttention(

@@ -226,7 +226,17 @@ class TrainLoop:
 
         ema_key = next(iter(self.state.ema))
         params = self.state.ema[ema_key]
-        sample = jax.jit(self.make_sampling_fn(params), static_argnums=(1,))
+        # Shard the preview batch over the mesh whenever it divides — the
+        # same SPMD decomposition as the training step, so previews on a
+        # multi-chip mesh cost 1/N of a replicated run (the EMA params are
+        # already mesh-placed; jax.random draws are sharding-invariant).
+        out_sh = None
+        if self.mesh is not None and self.mesh.size > 1:
+            if self.preview_samples % self.mesh.size == 0:
+                out_sh = batch_sharding(self.mesh)
+        sample = jax.jit(
+            self.make_sampling_fn(params), static_argnums=(1,), out_shardings=out_sh
+        )
         self.rng, k = jax.random.split(self.rng)
         out = jax.device_get(sample(k, self.preview_samples))
         vids = np.asarray(out["video"])

@@ -114,3 +114,35 @@ def test_subpixel_up_conv_exact():
         ).apply({"params": params["params"]}, image_upsample(x))
         got = mod.apply(params, x)
         np.testing.assert_allclose(np.array(got), np.array(ref), atol=1e-5)
+
+
+def test_image_unet_remat_grads_match_no_remat(monkeypatch):
+    """use_checkpoint now wraps hi-res ImageResBlocks in nn.remat (parity:
+    the reference's CheckpointFunction, nn.py:233-279).  Remat must be
+    value- and gradient-invariant; the selective threshold (env
+    MMDIFF_REMAT_MIN_TOKENS) only trades memory for recompute."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 3))
+    t = jnp.array([0, 5])
+    # the tiny 16x16 config is below the default selective threshold —
+    # force remat onto every block so the wrapper actually engages
+    monkeypatch.setenv("MMDIFF_REMAT_MIN_TOKENS", "1")
+
+    def loss_and_grad(use_ckpt):
+        cfg = tiny_cfg(use_checkpoint=use_ckpt)
+        model = ImageUNet(cfg)
+        variables = model.init(jax.random.PRNGKey(1), x, t)
+
+        def loss(v):
+            out = model.apply(v, x, t, train=True, rngs={"dropout": jax.random.PRNGKey(2)})
+            return jnp.mean(out**2)
+
+        l, g = jax.value_and_grad(loss)(variables)
+        return l, g
+
+    l0, g0 = loss_and_grad(False)
+    l1, g1 = loss_and_grad(True)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), rtol=2e-5, atol=2e-5)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5)

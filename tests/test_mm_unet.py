@@ -159,3 +159,34 @@ def test_forward_jits_and_is_deterministic_without_shift_rng():
     o1 = fwd(video, audio, t)
     o2 = fwd(video, audio, t)
     np.testing.assert_allclose(np.asarray(o1[0]), np.asarray(o2[0]))
+
+
+def test_train_and_eval_paths_agree_without_dropout():
+    """The eval-only graph rewrites (deferred up-block upsample, stock-GN
+    formulation) and the train-only ones (channel-sum GN under remat, saved
+    attention qkv) are exact algebraic rewrites of the same function — with
+    dropout off the two paths must produce the same values.
+
+    Guards the MMResBlock defer_up commute (upsample past GN/FiLM/SiLU/1x1
+    convs/residual) and the GroupNormFP32 formulation switch at once."""
+    cfg = tiny_config(
+        cross_attention_shift=False,
+        resblock_updown=True,
+        use_checkpoint=True,
+        dropout=0.0,
+    )
+    model = MultimodalUNet(cfg)
+    f, c, h, w = cfg.video_size
+    ca, l = cfg.audio_size
+    video = jax.random.normal(jax.random.PRNGKey(0), (2, f, h, w, c))
+    audio = jax.random.normal(jax.random.PRNGKey(1), (2, l, ca))
+    t = jnp.array([3, 250])
+    variables = model.init({"params": jax.random.PRNGKey(0)}, video, audio, t)
+
+    ev_v, ev_a = model.apply(variables, video, audio, t, train=False)
+    tr_v, tr_a = model.apply(
+        variables, video, audio, t, train=True,
+        rngs={"dropout": jax.random.PRNGKey(2)},
+    )
+    np.testing.assert_allclose(np.asarray(ev_v), np.asarray(tr_v), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ev_a), np.asarray(tr_a), atol=1e-4, rtol=1e-4)
