@@ -213,21 +213,35 @@ def main():
             jnp.zeros((1,), jnp.int32),
         )["params"]
         ttx = make_optimizer(lr=1e-4)
-        tstate = create_train_state(tparams, ttx, ema_rates=(0.9999,))
-        tstep = jax.jit(make_train_step(tmodel, tdiff, ttx), donate_argnums=0)
         tbatch = {
             "video": jax.random.normal(trng, (TB, 16, 64, 64, 3), jnp.float32),
             "audio": jax.random.normal(trng, (TB, 25600, 1), jnp.float32),
         }
-        tstate, tm = tstep(tstate, tbatch, trng)
-        jax.block_until_ready(tm["loss"])
-        t0 = _time.perf_counter()
-        for _ in range(10):
+
+        def _measure_train():
+            tstate = create_train_state(tparams, ttx, ema_rates=(0.9999,))
+            tstep = jax.jit(make_train_step(tmodel, tdiff, ttx), donate_argnums=0)
             tstate, tm = tstep(tstate, tbatch, trng)
-        jax.block_until_ready(tm["loss"])
-        train_ms = (_time.perf_counter() - t0) / 10 * 1000
+            jax.block_until_ready(tm["loss"])
+            t0 = _time.perf_counter()
+            for _ in range(10):
+                tstate, tm = tstep(tstate, tbatch, trng)
+            jax.block_until_ready(tm["loss"])
+            del tstate
+            return (_time.perf_counter() - t0) / 10 * 1000
+
+        try:
+            train_ms = _measure_train()
+        except Exception as e:
+            # The default memory/speed knobs (saved attention qkv, selective
+            # remat) trade HBM for step time; if a chip generation can't fit
+            # them, fall back to the conservative full-remat configuration
+            # rather than dropping the train number entirely.
+            print(f"# train-step default knobs failed ({e}); retrying conservative", flush=True)
+            os.environ["MMDIFF_SAVE_QKV"] = "0"
+            os.environ["MMDIFF_REMAT_MIN_TOKENS"] = "1"
+            train_ms = _measure_train()
         train_ex_per_sec = TB / train_ms * 1000
-        del tstate
     except Exception as e:  # never let the train probe kill the headline
         print(f"# train-step probe skipped: {e}", flush=True)
 

@@ -159,3 +159,27 @@ def test_trainloop_smoke(env, tmp_path):
     loop.run_loop(max_steps=3)
     assert int(jax.device_get(loop.state.step)) == 3
     assert ckpt_lib.latest_checkpoint_step(str(tmp_path / "checkpoints")) == 3
+
+
+def test_preview_sampling_sharded_over_mesh(env, tmp_path):
+    """Preview sampling shards over the mesh when the preview batch divides
+    it (train/loop.py sample_preview out_shardings) — on a multi-chip mesh
+    the EMA preview costs 1/N of a replicated run. End-to-end through the
+    media writers."""
+    import glob
+
+    model, diffusion, tx, params, step = env
+    data = load_synthetic_data(8, video_size=VIDEO_SIZE, audio_size=AUDIO_SIZE)
+    loop = TrainLoop(
+        model=model,
+        diffusion=diffusion,
+        data=data,
+        batch_size=8,
+        output_dir=str(tmp_path),
+        save_preview=True,
+        preview_samples=8,
+        init_params=params,
+    )
+    assert loop.mesh.size == 8
+    loop.sample_preview(0)
+    assert glob.glob(str(tmp_path / "previews" / "step_000000*"))
