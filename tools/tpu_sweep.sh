@@ -26,6 +26,10 @@ run train_noqkv "MMDIFF_SAVE_QKV=0" tools/time_train.py
 run train_remat_all "MMDIFF_REMAT_MIN_TOKENS=1" tools/time_train.py
 # 4. train step: unremat ds>=4 too (only 64^2+32^2 remat)
 run train_remat_hi "MMDIFF_REMAT_MIN_TOKENS=16384" tools/time_train.py
-# 5. SR eval (stock GN at eval + subpixel + defer)
+# 5. train step at b8 (does the step amortize at larger batch?)
+run train_b8 "TB=8" tools/time_train.py
+# 6. SR eval (stock GN at eval + subpixel + defer)
 run sr_eval "" tools/time_sr.py
+# 7. kernel numerics on real Mosaic (CPU tests run interpret mode)
+run kernel_tests_tpu "MMDIFF_TEST_PLATFORM=tpu" "-m pytest tests/test_block_attention.py tests/test_fused_attention.py -q"
 echo "===== sweep done $(date -u) =====" | tee -a $LOG
