@@ -19,19 +19,51 @@ import orbax.checkpoint as ocp
 from .state import TrainState
 
 
+# One persistent manager per checkpoint directory.  A fresh manager per call
+# (the previous design) forces synchronous saves; the cached manager enables
+# Orbax's async commit path: ``save`` blocks only on the device→host staging
+# copy (so the train step's donated buffers are safe) and the filesystem
+# write proceeds in a background thread while training continues.
+_MANAGERS: dict = {}
+
+
 def _manager(ckpt_dir: str, max_to_keep: Optional[int] = None) -> ocp.CheckpointManager:
-    options = ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True)
-    return ocp.CheckpointManager(os.path.abspath(ckpt_dir), options=options)
+    key = os.path.abspath(ckpt_dir)
+    if key not in _MANAGERS:
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep, create=True, enable_async_checkpointing=True
+        )
+        _MANAGERS[key] = ocp.CheckpointManager(key, options=options)
+    return _MANAGERS[key]
 
 
-def save_checkpoint(ckpt_dir: str, state: TrainState, max_to_keep: Optional[int] = None):
-    """Save the full train state under ``ckpt_dir/<step>/``."""
+def save_checkpoint(
+    ckpt_dir: str,
+    state: TrainState,
+    max_to_keep: Optional[int] = None,
+    block: bool = True,
+):
+    """Save the full train state under ``ckpt_dir/<step>/``.
+
+    ``block=False`` returns after the host staging copy and lets the write
+    commit in the background (call :func:`finalize` before reading the
+    directory or exiting).  The reference's torch.save protocol is fully
+    synchronous (multimodal_train_util.py:470-539)."""
     step = int(jax.device_get(state.step))
     mgr = _manager(ckpt_dir, max_to_keep)
     mgr.save(step, args=ocp.args.StandardSave(state))
-    mgr.wait_until_finished()
-    mgr.close()
+    if block:
+        mgr.wait_until_finished()
     return step
+
+
+def finalize(ckpt_dir: Optional[str] = None):
+    """Block until pending async saves commit (one dir, or all)."""
+    keys = [os.path.abspath(ckpt_dir)] if ckpt_dir else list(_MANAGERS)
+    for k in keys:
+        mgr = _MANAGERS.get(k)
+        if mgr is not None:
+            mgr.wait_until_finished()
 
 
 def latest_checkpoint_step(ckpt_dir: str) -> Optional[int]:
@@ -39,10 +71,7 @@ def latest_checkpoint_step(ckpt_dir: str) -> Optional[int]:
     multimodal_train_util.py:517-530)."""
     if not os.path.isdir(ckpt_dir):
         return None
-    mgr = _manager(ckpt_dir)
-    step = mgr.latest_step()
-    mgr.close()
-    return step
+    return _manager(ckpt_dir).latest_step()
 
 
 def restore_checkpoint(
@@ -50,20 +79,19 @@ def restore_checkpoint(
 ) -> TrainState:
     """Restore into the sharding/structure of ``abstract_state``."""
     mgr = _manager(ckpt_dir)
+    mgr.wait_until_finished()  # a just-issued async save must be visible
     if step is None:
         step = mgr.latest_step()
     assert step is not None, f"no checkpoint found in {ckpt_dir}"
     try:
         restored = mgr.restore(step, args=ocp.args.StandardRestore(abstract_state))
     except Exception as e:
-        mgr.close()
         raise RuntimeError(
             f"checkpoint restore failed for {ckpt_dir} step {step}. If this "
             "state predates the Dense [C,C] attention-output-projection layout "
             "(old layout: DenseGeneral [H,D,C]), it is incompatible — see "
             "docs/MIGRATION.md 'Native checkpoint layout history'."
         ) from e
-    mgr.close()
     return restored
 
 

@@ -191,6 +191,7 @@ class TrainLoop:
         finally:
             flush()
         self.save()
+        ckpt_lib.finalize(self.ckpt_dir)  # drain the async writer before exit
 
     # ------------------------------------------------------------------
     def save(self):
@@ -198,12 +199,15 @@ class TrainLoop:
 
         Multi-process: every process participates in the (distributed) Orbax
         save of the global sharded state; single-process detaches to host
-        first so donation can't invalidate the buffers mid-write."""
+        first so donation can't invalidate the buffers mid-write.  The save
+        is asynchronous: it returns after host staging and commits in a
+        background thread while training continues (the reference's
+        torch.save stalls the step loop for the full write)."""
         state = (
             self.state if jax.process_count() > 1 else jax.device_get(self.state)
         )
-        step = ckpt_lib.save_checkpoint(self.ckpt_dir, state)
-        kvlogger.log(f"saved checkpoint step {step} -> {self.ckpt_dir}")
+        step = ckpt_lib.save_checkpoint(self.ckpt_dir, state, block=False)
+        kvlogger.log(f"saving checkpoint step {step} -> {self.ckpt_dir} (async)")
 
     # ------------------------------------------------------------------
     def make_sampling_fn(self, params, sample_fn: Optional[str] = None, steps: int = 20):
