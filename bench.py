@@ -219,7 +219,12 @@ def main():
         }
 
         def _measure_train():
-            tstate = create_train_state(tparams, ttx, ema_rates=(0.9999,))
+            # fresh param copies per attempt: the step donates the state, so
+            # a runtime failure mid-attempt leaves tparams' buffers deleted
+            # and the conservative retry needs its own copies
+            tstate = create_train_state(
+                jax.tree.map(jnp.copy, tparams), ttx, ema_rates=(0.9999,)
+            )
             tstep = jax.jit(make_train_step(tmodel, tdiff, ttx), donate_argnums=0)
             tstate, tm = tstep(tstate, tbatch, trng)
             jax.block_until_ready(tm["loss"])

@@ -105,8 +105,13 @@ def save_image(img: np.ndarray, path: str) -> str:
 
 def _ffmpeg_binary() -> Optional[str]:
     """Resolve the ffmpeg binary used for AV muxing. ``MMDIFF_FFMPEG``
-    overrides PATH lookup (also lets tests inject a stub binary)."""
-    return os.environ.get("MMDIFF_FFMPEG") or shutil.which("ffmpeg")
+    overrides PATH lookup (also lets tests inject a stub binary); setting it
+    to the empty string disables muxing entirely (forces the side-by-side
+    layout regardless of PATH)."""
+    override = os.environ.get("MMDIFF_FFMPEG")
+    if override is not None:
+        return override or None
+    return shutil.which("ffmpeg")
 
 
 def mux_av(video_path: str, audio_path: str, out_path: str) -> Optional[str]:
@@ -144,10 +149,14 @@ def save_multimodal(
 ) -> tuple:
     """Joint AV save (parity: save_multimodal, common.py:46-54).
 
-    When an ffmpeg binary is available (PATH or ``MMDIFF_FFMPEG``) the video
-    and audio are muxed into one ``<base>.mp4`` container (the reference used
+    When an ffmpeg binary is available (PATH or ``MMDIFF_FFMPEG``; set
+    ``MMDIFF_FFMPEG=''`` to force side-by-side) the video and audio are
+    muxed into one ``<base>.mp4`` container (the reference used
     moviepy+ffmpeg); otherwise we emit side-by-side ``<base>.mp4`` (or .gif)
     + ``<base>.wav`` with the same basename.
+
+    Returns ``(video_path, audio_path)`` always; ``audio_path`` is ``None``
+    when the audio track was muxed into the video container.
     """
     apath = base_path + ".wav"
     save_audio(audio, apath, audio_rate)
@@ -157,12 +166,11 @@ def save_multimodal(
         if muxed is not None:
             os.remove(vpath)
             os.remove(apath)
-            return (muxed,)
-    # fallback: side-by-side with matching basenames
-    final_v = os.path.join(
-        os.path.dirname(vpath),
-        os.path.basename(vpath).replace("_video", ""),
-    )
+            return muxed, None
+    # fallback: side-by-side with matching basenames — <base> + the codec's
+    # chosen extension (a substring replace would mangle base paths that
+    # themselves contain '_video')
+    final_v = base_path + os.path.splitext(vpath)[1]
     os.replace(vpath, final_v)
     return final_v, apath
 

@@ -243,14 +243,18 @@ class ImageUNet(nn.Module):
 
         # Selective remat for training memory (parity: the reference's
         # use_checkpoint flag wraps every ResBlock, image_unet.py ResBlock
-        # forward via CheckpointFunction).  Only blocks whose pixel count
-        # clears the threshold pay the recompute — low-res blocks hold tiny
-        # activations, so saving them costs little HBM and skips a full
-        # block recompute in the backward (same policy as MultimodalUNet).
+        # forward via CheckpointFunction).  Only blocks whose activation
+        # token count (H*W here; F*H*W in MultimodalUNet — 'tokens' = rows
+        # of the [tokens, C] activation) clears the threshold pay the
+        # recompute — low-res blocks hold tiny activations, so saving them
+        # costs little HBM and skips a full block recompute in the backward.
+        # Same knobs as MultimodalUNet: MMDIFF_REMAT_MIN_TOKENS,
+        # MMDIFF_SAVE_QKV=0 for HBM-bound configs.
         remat_min_tokens = int(os.environ.get("MMDIFF_REMAT_MIN_TOKENS", "4096"))
-        remat_policy = jax.checkpoint_policies.save_only_these_names(
-            "attn_out", "attn_qkv"
-        )
+        _save = ("attn_out",) if os.environ.get(
+            "MMDIFF_SAVE_QKV", "1"
+        ) == "0" else ("attn_out", "attn_qkv")
+        remat_policy = jax.checkpoint_policies.save_only_these_names(*_save)
 
         def maybe_remat(m, pixels):
             if not cfg.use_checkpoint or pixels < remat_min_tokens:

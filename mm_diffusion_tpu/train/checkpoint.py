@@ -29,12 +29,22 @@ _MANAGERS: dict = {}
 
 def _manager(ckpt_dir: str, max_to_keep: Optional[int] = None) -> ocp.CheckpointManager:
     key = os.path.abspath(ckpt_dir)
-    if key not in _MANAGERS:
-        options = ocp.CheckpointManagerOptions(
-            max_to_keep=max_to_keep, create=True, enable_async_checkpointing=True
-        )
-        _MANAGERS[key] = ocp.CheckpointManager(key, options=options)
-    return _MANAGERS[key]
+    cached = _MANAGERS.get(key)
+    if cached is not None:
+        mgr, kept = cached
+        # An explicit retention limit must not be silently ignored because a
+        # read (latest_checkpoint_step) created the manager first — rebuild.
+        if max_to_keep is not None and kept != max_to_keep:
+            mgr.wait_until_finished()
+            mgr.close()
+        else:
+            return mgr
+    options = ocp.CheckpointManagerOptions(
+        max_to_keep=max_to_keep, create=True, enable_async_checkpointing=True
+    )
+    mgr = ocp.CheckpointManager(key, options=options)
+    _MANAGERS[key] = (mgr, max_to_keep)
+    return mgr
 
 
 def save_checkpoint(
@@ -61,9 +71,9 @@ def finalize(ckpt_dir: Optional[str] = None):
     """Block until pending async saves commit (one dir, or all)."""
     keys = [os.path.abspath(ckpt_dir)] if ckpt_dir else list(_MANAGERS)
     for k in keys:
-        mgr = _MANAGERS.get(k)
-        if mgr is not None:
-            mgr.wait_until_finished()
+        cached = _MANAGERS.get(k)
+        if cached is not None:
+            cached[0].wait_until_finished()
 
 
 def latest_checkpoint_step(ckpt_dir: str) -> Optional[int]:

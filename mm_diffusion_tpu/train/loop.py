@@ -190,8 +190,11 @@ class TrainLoop:
                             log.log(f"preview sampling failed: {e}")
         finally:
             flush()
+            # drain the async checkpoint writer even on an exception /
+            # KeyboardInterrupt — a logged mid-run save must be durable
+            ckpt_lib.finalize(self.ckpt_dir)
         self.save()
-        ckpt_lib.finalize(self.ckpt_dir)  # drain the async writer before exit
+        ckpt_lib.finalize(self.ckpt_dir)
 
     # ------------------------------------------------------------------
     def save(self):

@@ -93,7 +93,9 @@ def test_media_roundtrip(tmp_path):
     assert sr == 16000
     np.testing.assert_allclose(audio[:, 0], pair["audio"][:, 0], atol=1e-3)
     v2, a2 = media.save_multimodal(pair["video"], pair["audio"], str(tmp_path / "mm"))
-    assert os.path.exists(a2)
+    assert os.path.exists(v2)
+    # a2 is None when an ffmpeg binary muxed the audio into the container
+    assert a2 is None or os.path.exists(a2)
 
 
 def test_video_grid(tmp_path):

@@ -44,8 +44,8 @@ def test_mux_with_stub_ffmpeg(tmp_path, monkeypatch, av_pair):
     video, audio = av_pair
     monkeypatch.setenv("MMDIFF_FFMPEG", _write_stub_ffmpeg(tmp_path))
     out = media.save_multimodal(video, audio, str(tmp_path / "mm"))
-    # one container, intermediates cleaned up
-    assert out == (str(tmp_path / "mm.mp4"),)
+    # one container (audio path None), intermediates cleaned up
+    assert out == (str(tmp_path / "mm.mp4"), None)
     assert os.path.exists(out[0]) and os.path.getsize(out[0]) > 0
     assert not os.path.exists(str(tmp_path / "mm.wav"))
     assert not os.path.exists(str(tmp_path / "mm_video.mp4"))

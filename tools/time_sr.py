@@ -1,5 +1,5 @@
 import sys, os, time
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 os.makedirs(os.path.expanduser("~/.cache/jax_comp"), exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp"))

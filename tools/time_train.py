@@ -1,8 +1,8 @@
 """Time the real-config b4 remat train step on the TPU. Usage:
-  MMDIFF_GN_SUMS=0|1 python /tmp/time_train.py
+  python tools/time_train.py
 """
 import os, sys, time
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 os.makedirs(os.path.expanduser("~/.cache/jax_comp"), exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp"))
