@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Tuple
 
 import jax
@@ -49,6 +50,37 @@ _NEG_INF = -1e30
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def _vmem_limit_mb() -> float:
+    """MMDIFF_VMEM_LIMIT_MB raises the per-kernel scoped-VMEM window above
+    XLA's ~16 MiB default (v5e has 128 MiB physical VMEM/core).  0 = off."""
+    try:
+        return float(os.environ.get("MMDIFF_VMEM_LIMIT_MB", "0"))
+    except ValueError:  # pragma: no cover
+        return 0.0
+
+
+def _budget(default: int) -> int:
+    """Fit-guard byte budget.  The defaults were tuned against the stock
+    scoped window; with a raised window the guards scale to 80% of it
+    (headroom for Mosaic double buffering)."""
+    mb = _vmem_limit_mb()
+    if mb <= 0:
+        return default
+    return int(mb * 2**20 * 0.8)
+
+
+def _cp_kwargs() -> dict:
+    """compiler_params kwargs for pallas_call when the window is raised."""
+    mb = _vmem_limit_mb()
+    if mb <= 0 or not _HAS_PLTPU or _interpret():
+        return {}
+    return {
+        "compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=int(mb * 2**20)
+        )
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -184,6 +216,7 @@ def _self_attention_pallas(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
         in_specs=[pl.BlockSpec((rows, t, c3), lambda i: (i, 0, 0))],
         out_specs=pl.BlockSpec((rows, t, c), lambda i: (i, 0, 0)),
         interpret=_interpret(),
+        **_cp_kwargs(),
     )(qkv)
 
 
@@ -272,6 +305,7 @@ def _self_attention_bwd_chunked_pallas(
         ],
         out_specs=pl.BlockSpec((1, t, c3), lambda i: (i, 0, 0)),
         interpret=_interpret(),
+        **_cp_kwargs(),
     )(qkv, g)
 
 
@@ -295,6 +329,7 @@ def _self_attention_bwd_pallas(
         ],
         out_specs=pl.BlockSpec((rows, t, c3), lambda i: (i, 0, 0)),
         interpret=_interpret(),
+        **_cp_kwargs(),
     )(qkv, g)
 
 
@@ -317,7 +352,7 @@ def self_attention_bwd_fits(n: int, t: int, c: int, num_heads: int) -> bool:
     rt = rows * t
     tiles = 4.5 * rt * rt * 4
     blocks = (3 + 1 + 3) * rt * c * 2  # qkv + g + dqkv
-    return (tiles + blocks) < 12_500_000
+    return (tiles + blocks) < _budget(12_500_000)
 
 
 def self_attention_bwd_chunked_fits(t: int, c: int, qblock: int = 256) -> bool:
@@ -329,7 +364,7 @@ def self_attention_bwd_chunked_fits(t: int, c: int, qblock: int = 256) -> bool:
     blocks = 7 * t * c * 2  # qkv + g + dqkv, bf16
     chunk = 4 * qb * t * 4  # logits/p/dp/ds f32
     acc = 3 * t * c * 4  # dk/dv/dq accumulators (per-head slices)
-    return (blocks + chunk + acc) < 12_500_000
+    return (blocks + chunk + acc) < _budget(12_500_000)
 
 
 def _self_bwd_rule(num_heads, qkv, g):
@@ -364,7 +399,7 @@ def self_attention_fits(
     # configs' largest case (T=1024, C=256 -> 10.4 MB) compiles with room to
     # spare, and rejecting it silently routed the hottest attention through
     # the einsum path (caught by HLO audit, round 2).
-    return (block + logits) < 12_500_000
+    return (block + logits) < _budget(12_500_000)
 
 
 def dispatch_self_attention(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
@@ -541,7 +576,7 @@ def banded_oneshot_fits(
     tiles = 2 * local_window * tq * tk * 4  # logits + p, f32
     return (
         local_window <= 16
-        and (blocks + tiles) < 10 * 1024 * 1024
+        and (blocks + tiles) < _budget(10 * 1024 * 1024)
         and c % num_heads == 0
     )
 
@@ -575,6 +610,7 @@ def _banded_oneshot_pallas(q, kv, shift, local_window: int, num_heads: int, c: i
         out_shape=jax.ShapeDtypeStruct((n, f, tq, c), q.dtype),
         grid_spec=grid_spec,
         interpret=_interpret(),
+        **_cp_kwargs(),
     )(shift_arr, q, *([kv] * lw))
 
 
@@ -625,6 +661,7 @@ def _banded_fwd_pallas(
         out_shape=jax.ShapeDtypeStruct((n, f, tq, c), q.dtype),
         grid_spec=grid_spec,
         interpret=_interpret(),
+        **_cp_kwargs(),
     )(shift_arr, q, kv)
 
 
@@ -744,6 +781,7 @@ def _banded_bwd_lw1_pallas(q_src, kv_src, g, shift, num_heads: int, channels: in
         ],
         grid_spec=grid_spec,
         interpret=_interpret(),
+        **_cp_kwargs(),
     )(shift_arr, q_src, kv_src, g)
 
 
@@ -845,7 +883,7 @@ def banded_bwd_oneshot_fits(
     tiles = 4 * local_window * tq * tk * 4  # logits/p/dp/ds f32 per j
     return (
         1 < local_window <= 16
-        and (blocks + tiles) < 10 * 1024 * 1024
+        and (blocks + tiles) < _budget(10 * 1024 * 1024)
         and c % num_heads == 0
     )
 
@@ -887,6 +925,7 @@ def _banded_bwd_oneshot_pallas(
         + [jax.ShapeDtypeStruct(kv_src.shape, kv_src.dtype)] * lw,
         grid_spec=grid_spec,
         interpret=_interpret(),
+        **_cp_kwargs(),
     )(shift_arr, q_src, g, *([kv_src] * lw))
     dkv_src = dkv_parts[0]
     for p in dkv_parts[1:]:
@@ -985,7 +1024,7 @@ def banded_fits(
     blocks = (q_and_out + tk * w * c) * dtype_bytes
     scratch = tq * c * 4 + 2 * tq * num_heads * 4
     logits = tq * tk * 4 * 2
-    return (blocks + scratch + logits) < 10 * 1024 * 1024 and c % num_heads == 0
+    return (blocks + scratch + logits) < _budget(10 * 1024 * 1024) and c % num_heads == 0
 
 
 def banded_bwd_fits(tq: int, tk: int, c: int, num_heads: int) -> bool:
@@ -995,7 +1034,7 @@ def banded_bwd_fits(tq: int, tk: int, c: int, num_heads: int) -> bool:
     class as the self-attention backward guard, commit 798527e)."""
     blocks = (7 * tq * c + 6 * tk * c) * 2  # q+g+dq (3C+C+3C) | kv+dkv (3C+3C)
     tiles = 4 * tq * tk * 4  # logits / p / dp / ds f32
-    return (blocks + tiles) < 10 * 1024 * 1024 and c % num_heads == 0
+    return (blocks + tiles) < _budget(10 * 1024 * 1024) and c % num_heads == 0
 
 
 def banded_cross_attention_xla(

@@ -28,6 +28,9 @@ run train_remat_all "MMDIFF_REMAT_MIN_TOKENS=1" tools/time_train.py
 run train_remat_hi "MMDIFF_REMAT_MIN_TOKENS=16384" tools/time_train.py
 # 5. train step at b8 (does the step amortize at larger batch?)
 run train_b8 "TB=8" tools/time_train.py
+# 5b. raised scoped-VMEM window: one-shot kernels admit bigger shapes
+run train_vmem64 "MMDIFF_VMEM_LIMIT_MB=64" tools/time_train.py
+run train_vmem32 "MMDIFF_VMEM_LIMIT_MB=32" tools/time_train.py
 # 6. SR eval (stock GN at eval + subpixel + defer)
 run sr_eval "" tools/time_sr.py
 # 7. kernel numerics on real Mosaic (CPU tests run interpret mode)
