@@ -285,6 +285,16 @@ def main():
                         round(train_ex_per_sec, 2) if train_ex_per_sec else None
                     ),
                     "device": str(jax.devices()[0]),
+                    "knobs": {
+                        k: os.environ[k]
+                        for k in (
+                            "MMDIFF_SAVE_QKV",
+                            "MMDIFF_REMAT_MIN_TOKENS",
+                            "MMDIFF_VMEM_LIMIT_MB",
+                            "MMDIFF_GN_SUMS",
+                        )
+                        if k in os.environ
+                    },
                 },
             }
         )
