@@ -171,15 +171,20 @@ def test_dispatchers_run_on_cpu():
     assert out.shape == (1, 8, 16, 128)
 
 
-def test_self_attention_bwd_fits_guard():
+def test_self_attention_bwd_fits_guard(monkeypatch):
     # The stock config's T=1024 spatial shape fits forward (12.5 MB bound)
     # but its backward tiles (~4.5 RT^2 f32) exceed VMEM — the guard must
     # split, or the real-chip train step OOMs scoped vmem (round-2 bug).
+    monkeypatch.delenv("MMDIFF_VMEM_LIMIT_MB", raising=False)
     assert ba.self_attention_fits(128, 1024, 256, 4)
     assert not ba.self_attention_bwd_fits(128, 1024, 256, 4)
     # deeper levels fit both ways
     assert ba.self_attention_bwd_fits(128, 256, 384, 6)
     assert ba.self_attention_bwd_fits(128, 64, 512, 8)
+    # a raised scoped-VMEM window admits the one-shot backward at T=1024
+    # (MMDIFF_VMEM_LIMIT_MB scales every fit-guard budget)
+    monkeypatch.setenv("MMDIFF_VMEM_LIMIT_MB", "64")
+    assert ba.self_attention_bwd_fits(128, 1024, 256, 4)
 
 
 @pytest.mark.parametrize("lw,shift", [(1, 0), (1, 2), (3, 1)])
