@@ -402,14 +402,60 @@ def self_attention_fits(
     return (block + logits) < _budget(12_500_000)
 
 
-def dispatch_self_attention(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
-    """Packed-qkv MHA: Pallas block kernel on TPU when it fits, reference
-    einsum elsewhere (CPU tests, oversized shapes)."""
+# --- kernel mesh registry ---------------------------------------------------
+# Pallas kernels lower to tpu_custom_call, which XLA's SPMD partitioner has
+# no rule for: under plain jit+GSPMD a batch-sharded operand would be
+# all-gathered around the kernel.  Every kernel here is embarrassingly
+# batch-parallel (grid leading dim = batch rows), so when a mesh is active
+# the dispatchers wrap themselves in jax.shard_map over the batch axes —
+# the per-shard call is the same kernel on a smaller N.  TrainLoop and the
+# data-sharded sampling path register the mesh; single-chip runs never pay
+# the wrapper.
+
+_KERNEL_MESH: Tuple = ()
+
+
+def set_kernel_mesh(mesh, batch_axes: Tuple[str, ...] = ("data", "fsdp")):
+    """Register (or clear, with ``mesh=None``) the mesh used to shard_map
+    the attention kernels over their batch dimension."""
+    global _KERNEL_MESH
+    _KERNEL_MESH = () if mesh is None else (mesh, tuple(batch_axes))
+
+
+def _kernel_mesh_for(n: int):
+    """The registered (mesh, axes) when the batch dim divides over it."""
+    if not _KERNEL_MESH:
+        return None
+    mesh, axes = _KERNEL_MESH
+    size = 1
+    for a in axes:
+        size *= mesh.shape[a]
+    if size <= 1 or n % size != 0:
+        return None
+    return mesh, axes
+
+
+def _dispatch_self_attention_local(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     n, t, c3 = qkv.shape
     c = c3 // 3
     if jax.default_backend() == "tpu" and self_attention_fits(n, t, c, num_heads):
         return self_attention_packed(qkv, num_heads)
     return self_attention_reference(qkv, num_heads)
+
+
+def dispatch_self_attention(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """Packed-qkv MHA: Pallas block kernel on TPU when it fits, reference
+    einsum elsewhere (CPU tests, oversized shapes).  Batch-sharded over the
+    registered kernel mesh (see :func:`set_kernel_mesh`)."""
+    km = _kernel_mesh_for(qkv.shape[0])
+    if km is not None:
+        mesh, axes = km
+        spec = jax.sharding.PartitionSpec(axes)
+        return jax.shard_map(
+            functools.partial(_dispatch_self_attention_local, num_heads=num_heads),
+            mesh=mesh, in_specs=spec, out_specs=spec, check_vma=False,
+        )(qkv)
+    return _dispatch_self_attention_local(qkv, num_heads)
 
 
 # ---------------------------------------------------------------------------
@@ -1069,6 +1115,38 @@ def banded_cross_attention_xla(
     return out.reshape(n, f, tq, c)
 
 
+def _dispatch_banded_attention_local(
+    q: jnp.ndarray, kv: jnp.ndarray, shift, local_window: int, num_heads: int
+) -> jnp.ndarray:
+    n, f, tq, c = q.shape
+    tk = kv.shape[2]
+    profitable = local_window == 1 or (tk > tq and local_window <= 4)
+    if (
+        jax.default_backend() == "tpu"
+        and tq >= 64
+        and profitable
+        and banded_fits(tq, tk, c, num_heads)
+    ):
+        return banded_cross_attention(q, kv, shift, local_window, num_heads)
+    return banded_cross_attention_xla(q, kv, shift, local_window, num_heads)
+
+
+def _banded_shard_map(local_fn, q, kv, shift, km):
+    """shard_map a banded dispatcher over the batch dim: q/kv sharded on
+    dim 0, the (traced) random shift replicated."""
+    mesh, axes = km
+    P = jax.sharding.PartitionSpec
+    spec = P(axes)
+    shift_arr = jnp.asarray(shift, jnp.int32)
+    return jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(spec, spec, P()),
+        out_specs=spec,
+        check_vma=False,
+    )(q, kv, shift_arr)
+
+
 def dispatch_banded_attention(
     q: jnp.ndarray, kv: jnp.ndarray, shift, local_window: int, num_heads: int
 ) -> jnp.ndarray:
@@ -1083,18 +1161,18 @@ def dispatch_banded_attention(
       roll would duplicate the large video kv ``lw``-fold);
     * roll-based XLA path otherwise (video-side lw>1, deep tiny levels,
       middle full-window block, CPU).
+
+    Batch-sharded over the registered kernel mesh (see set_kernel_mesh).
     """
-    n, f, tq, c = q.shape
-    tk = kv.shape[2]
-    profitable = local_window == 1 or (tk > tq and local_window <= 4)
-    if (
-        jax.default_backend() == "tpu"
-        and tq >= 64
-        and profitable
-        and banded_fits(tq, tk, c, num_heads)
-    ):
-        return banded_cross_attention(q, kv, shift, local_window, num_heads)
-    return banded_cross_attention_xla(q, kv, shift, local_window, num_heads)
+    km = _kernel_mesh_for(q.shape[0])
+    if km is not None:
+        return _banded_shard_map(
+            lambda q_, kv_, s_: _dispatch_banded_attention_local(
+                q_, kv_, s_, local_window, num_heads
+            ),
+            q, kv, shift, km,
+        )
+    return _dispatch_banded_attention_local(q, kv, shift, local_window, num_heads)
 
 
 def dispatch_banded_attention_packed(
@@ -1107,7 +1185,29 @@ def dispatch_banded_attention_packed(
 ) -> jnp.ndarray:
     """Packed-qkv RS-MMA dispatch: q from ``q_src[..., :C]``, k|v from
     ``kv_src[..., C:]``.  On the Pallas path the slices live only in the
-    kernel's block reads; the XLA fallback slices explicitly."""
+    kernel's block reads; the XLA fallback slices explicitly.  Batch-sharded
+    over the registered kernel mesh (see set_kernel_mesh)."""
+    km = _kernel_mesh_for(q_src.shape[0])
+    if km is not None:
+        return _banded_shard_map(
+            lambda q_, kv_, s_: _dispatch_banded_attention_packed_local(
+                q_, kv_, s_, local_window, num_heads, channels
+            ),
+            q_src, kv_src, shift, km,
+        )
+    return _dispatch_banded_attention_packed_local(
+        q_src, kv_src, shift, local_window, num_heads, channels
+    )
+
+
+def _dispatch_banded_attention_packed_local(
+    q_src: jnp.ndarray,
+    kv_src: jnp.ndarray,
+    shift,
+    local_window: int,
+    num_heads: int,
+    channels: int,
+) -> jnp.ndarray:
     n, f, tq, _ = q_src.shape
     tk = kv_src.shape[2]
     c = channels

@@ -156,6 +156,9 @@ def main(argv=None):
                 f"n_sample_data={args.n_sample_data}"
             )
         mesh = make_mesh(n_data=args.n_sample_data, n_fsdp=1)
+        from ..ops.block_attention import set_kernel_mesh
+
+        set_kernel_mesh(mesh)  # kernels shard_map over the batch axis
         params = jax.device_put(params, replicated(mesh))
         sr_params = jax.device_put(sr_params, replicated(mesh))
         out_shardings = NamedSharding(mesh, P(DATA_AXIS))

@@ -75,6 +75,9 @@ class TrainLoop:
         init_params=None,
         min_size_to_shard: int = 2**18,
     ):
+        # NOTE: the loop takes OWNERSHIP of init_params — the jitted train
+        # step donates the state, so the caller's arrays may be deleted
+        # after the first step (pass jax.tree.map(jnp.copy, p) to keep them).
         self.model = model
         self.diffusion = diffusion
         self.data = data
@@ -86,6 +89,12 @@ class TrainLoop:
         self.save_preview = save_preview
         self.preview_samples = preview_samples
         self.mesh = mesh if mesh is not None else make_mesh()
+        # attention kernels shard_map over this mesh (tpu_custom_call has no
+        # GSPMD partitioning rule — without this the kernels would force an
+        # activation all-gather on multi-chip meshes)
+        from ..ops.block_attention import set_kernel_mesh
+
+        set_kernel_mesh(self.mesh if self.mesh.size > 1 else None)
         self.rng = jax.random.PRNGKey(seed)
 
         cfg = model.cfg

@@ -154,7 +154,7 @@ def test_trainloop_smoke(env, tmp_path):
         save_interval=1000,
         output_dir=str(tmp_path),
         save_preview=False,
-        init_params=params,
+        init_params=jax.tree.map(jnp.copy, params),  # loop takes ownership
     )
     loop.run_loop(max_steps=3)
     assert int(jax.device_get(loop.state.step)) == 3
@@ -178,7 +178,9 @@ def test_preview_sampling_sharded_over_mesh(env, tmp_path):
         output_dir=str(tmp_path),
         save_preview=True,
         preview_samples=8,
-        init_params=params,
+        # TrainLoop takes ownership of init_params (its donated step deletes
+        # them); the module-scoped fixture's copy must survive for later tests
+        init_params=jax.tree.map(jnp.copy, params),
     )
     assert loop.mesh.size == 8
     loop.sample_preview(0)
