@@ -17,7 +17,7 @@ sampling.  Protocol:
   reading back a scalar (python-loop + block_until_ready under-reports on
   this platform's async runtime); pairs/sec derived as
   1 / (NFE_base * t_base_per_pair + NFE_sr * t_sr_per_clip).
-* the persistent compilation cache (~/.cache/jax_comp) makes warm runs take
+* the persistent compilation cache (per-CPU-signature, utils/cache.py) makes warm runs take
   ~2 minutes; cold compiles through the device tunnel add ~5 minutes.
 
 ``vs_baseline`` is an explicit analytic estimate of the PyTorch reference on
@@ -37,9 +37,8 @@ import jax
 
 # Persistent compilation cache: compiles through the remote-device transport
 # cost minutes; cache hits are ~instant across processes.
-os.makedirs(os.path.expanduser("~/.cache/jax_comp"), exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from mm_diffusion_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
 import jax.numpy as jnp
 
 BATCH = 8  # base-model batch (pairs)

@@ -4,9 +4,8 @@
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
-os.makedirs(os.path.expanduser("~/.cache/jax_comp"), exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from mm_diffusion_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
 import jax.numpy as jnp
 
 from mm_diffusion_tpu.configs import create_model_config, create_gaussian_diffusion
