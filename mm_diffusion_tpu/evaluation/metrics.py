@@ -92,3 +92,47 @@ def preprocess_videos_for_i3d(videos_uint8: np.ndarray, resolution: int = 224) -
             ).astype(np.float32) / 255.0
             out[i, j] = fr[y0 : y0 + resolution, x0 : x0 + resolution]
     return (out - 0.5) * 2.0
+
+
+def _pairwise_sq_dists(a: np.ndarray, b: np.ndarray, block: int = 2048) -> np.ndarray:
+    """Blocked squared euclidean distances [Na, Nb] in float64."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    out = np.empty((a.shape[0], b.shape[0]), np.float64)
+    b_sq = (b * b).sum(-1)
+    for i in range(0, a.shape[0], block):
+        chunk = a[i : i + block]
+        d = (chunk * chunk).sum(-1)[:, None] + b_sq[None, :] - 2.0 * chunk @ b.T
+        out[i : i + block] = np.maximum(d, 0.0)
+    return out
+
+
+def manifold_radii(features: np.ndarray, k: int = 3) -> np.ndarray:
+    """Squared distance from each point to its k-th nearest OTHER point in
+    the same set — the manifold hypersphere radii of improved
+    precision/recall (parity: ManifoldEstimator.manifold_radii,
+    evaluations/compute_image_is.py:249-282 with nhood_size=3)."""
+    d = _pairwise_sq_dists(features, features)
+    np.fill_diagonal(d, np.inf)
+    # k-th smallest excluding self
+    return np.partition(d, k - 1, axis=1)[:, k - 1]
+
+
+def precision_recall(
+    ref_features: np.ndarray, sample_features: np.ndarray, k: int = 3
+) -> tuple:
+    """Improved precision & recall (Kynkaanniemi et al. 2019) over arbitrary
+    embedding spaces (parity: Evaluator.compute_prec_recall,
+    evaluations/compute_image_is.py:195-204).
+
+    precision = fraction of samples inside ANY ref manifold hypersphere;
+    recall    = fraction of refs inside ANY sample manifold hypersphere.
+    """
+    ref = np.asarray(ref_features, np.float64).reshape(ref_features.shape[0], -1)
+    sam = np.asarray(sample_features, np.float64).reshape(sample_features.shape[0], -1)
+    r_ref = manifold_radii(ref, k)
+    r_sam = manifold_radii(sam, k)
+    d = _pairwise_sq_dists(sam, ref)  # [Ns, Nr]
+    precision = float(np.mean((d <= r_ref[None, :]).any(axis=1)))
+    recall = float(np.mean((d.T <= r_sam[None, :]).any(axis=1)))
+    return precision, recall
