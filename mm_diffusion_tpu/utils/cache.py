@@ -15,27 +15,60 @@ own cache."""
 import hashlib
 import os
 import platform
+import shutil
 
 import jax
 
 
-def _cpu_signature() -> str:
+def _cpu_flags() -> str:
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
                 if line.startswith("flags"):
-                    return hashlib.sha256(
-                        " ".join(sorted(line.split()[2:])).encode()
-                    ).hexdigest()[:10]
+                    return " ".join(sorted(line.split()[2:]))
     except OSError:
         pass
     return platform.machine()
 
 
+def _cpu_signature() -> str:
+    return hashlib.sha256(_cpu_flags().encode()).hexdigest()[:10]
+
+
 DEFAULT_DIR = os.path.expanduser(f"~/.cache/jax_comp_{_cpu_signature()}")
+
+# The pre-keying shared directory: entries in it may be AOT results for any
+# host microarchitecture, so no process should ever read from it again.
+_LEGACY_DIR = os.path.expanduser("~/.cache/jax_comp")
 
 
 def enable_compilation_cache(cache_dir: str = DEFAULT_DIR):
+    """Point jax's persistent compile cache at a host-CPU-keyed directory.
+
+    Keying alone is not enough (advisor r3): a directory carried across hosts
+    (image snapshot, NFS) can still hold entries whose recorded CPU features
+    don't match this machine, and XLA:CPU only WARNS before executing them
+    ("could lead to execution errors such as SIGILL").  So the directory holds
+    a HOST_SIGNATURE file with the full verbatim flags string; any mismatch
+    (including a hash collision) purges the directory instead of risking a
+    latent SIGILL.  The legacy unkeyed directory is removed outright.
+    """
+    if cache_dir == DEFAULT_DIR and os.path.isdir(_LEGACY_DIR):
+        shutil.rmtree(_LEGACY_DIR, ignore_errors=True)
     os.makedirs(cache_dir, exist_ok=True)
+    sig_file = os.path.join(cache_dir, "HOST_SIGNATURE")
+    flags = _cpu_flags()
+    try:
+        with open(sig_file) as f:
+            recorded = f.read()
+    except OSError:
+        recorded = None
+    if recorded is not None and recorded != flags:
+        shutil.rmtree(cache_dir, ignore_errors=True)
+        os.makedirs(cache_dir, exist_ok=True)
+        recorded = None
+    if recorded is None:
+        with open(sig_file, "w") as f:
+            f.write(flags)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

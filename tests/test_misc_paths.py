@@ -168,3 +168,23 @@ def test_parse_trace_on_cpu(tmp_path):
         _ = f(x).block_until_ready()
     rows = parse_trace(str(tmp_path), top_n=5)
     assert rows and all(len(r) == 3 for r in rows)
+
+
+def test_compile_cache_purges_on_host_signature_mismatch(tmp_path):
+    """A cache dir carried from another host (mismatched HOST_SIGNATURE) must
+    be purged, not served — XLA:CPU AOT entries for a different
+    microarchitecture execute with only a SIGILL warning (advisor r3)."""
+    from mm_diffusion_tpu.utils import cache
+
+    d = str(tmp_path / "compcache")
+    cache.enable_compilation_cache(d)
+    sig = tmp_path / "compcache" / "HOST_SIGNATURE"
+    assert sig.read_text() == cache._cpu_flags()
+
+    # poison: foreign signature + a stale entry
+    sig.write_text("foreign-machine avx512-whatever")
+    stale = tmp_path / "compcache" / "stale_entry.bin"
+    stale.write_bytes(b"poisoned")
+    cache.enable_compilation_cache(d)
+    assert not stale.exists()
+    assert sig.read_text() == cache._cpu_flags()

@@ -12,12 +12,11 @@ import time
 
 import jax
 
-os.makedirs(os.path.expanduser("~/.cache/jax_comp"), exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from mm_diffusion_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
 
 
 def timeit(block_apply, x0, n_chain=30, n_outer=2):

@@ -16,9 +16,11 @@ import time
 
 import jax
 
-os.makedirs(os.path.expanduser("~/.cache/jax_comp"), exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from mm_diffusion_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
+
 import jax.numpy as jnp
 from flax import linen as nn
 
