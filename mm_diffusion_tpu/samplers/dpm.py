@@ -22,6 +22,7 @@ Design notes (behavioral parity, TPU-friendly structure):
 
 from __future__ import annotations
 
+import math
 from typing import Any, Callable, Optional
 
 import jax
@@ -32,17 +33,31 @@ from flax import struct
 PyTree = Any
 
 
-class NoiseScheduleVP(struct.PyTreeNode):
-    """Discrete-time VP noise schedule in continuous time
-    (parity: multimodal_dpm_solver_plus.py:11-180, 'discrete' branch).
+_COSINE_S = 0.008
+_COSINE_LOG_ALPHA_0 = math.log(math.cos(_COSINE_S / (1.0 + _COSINE_S) * math.pi / 2.0))
 
-    ``t_i = (i+1)/N``; ``log_alpha(t)`` is piecewise-linear over the grid.
+
+class NoiseScheduleVP(struct.PyTreeNode):
+    """VP noise schedule in continuous time
+    (parity: multimodal_dpm_solver_plus.py:11-190).
+
+    Three branches, selected by the static ``schedule`` field:
+      * ``"discrete"`` — ``t_i = (i+1)/N``; ``log_alpha(t)`` piecewise-linear
+        over the (t, 0.5*log alphas_cumprod) grid (ref :108-119,:137-141).
+      * ``"linear"``   — continuous-time DDPM VPSDE,
+        ``log_alpha(t) = -t^2 (b1-b0)/4 - t b0/2`` with closed-form
+        ``inverse_lambda`` (ref :142-143,:171-175).
+      * ``"cosine"``   — improved-DDPM cosine schedule with ``T = 0.9946``
+        and closed-form arccos inverse (ref :144-147,:180-184).
     """
 
-    t_array: jnp.ndarray  # [N], increasing in (0, 1]
+    t_array: jnp.ndarray  # [N], increasing in (0, 1] (discrete branch)
     log_alpha_array: jnp.ndarray  # [N], 0.5*log(alphas_cumprod), decreasing
     total_N: int = struct.field(pytree_node=False)
     T: float = struct.field(pytree_node=False, default=1.0)
+    schedule: str = struct.field(pytree_node=False, default="discrete")
+    beta_0: float = struct.field(pytree_node=False, default=0.1)
+    beta_1: float = struct.field(pytree_node=False, default=20.0)
 
     @classmethod
     def from_alphas_cumprod(cls, alphas_cumprod) -> "NoiseScheduleVP":
@@ -61,7 +76,31 @@ class NoiseScheduleVP(struct.PyTreeNode):
     def from_betas(cls, betas) -> "NoiseScheduleVP":
         return cls.from_alphas_cumprod(np.cumprod(1.0 - np.asarray(betas, np.float64)))
 
+    @classmethod
+    def continuous(
+        cls, schedule: str = "linear", beta_0: float = 0.1, beta_1: float = 20.0
+    ) -> "NoiseScheduleVP":
+        """Continuous-time VPSDE (ref :120-133: total_N=1000; cosine ends at
+        T=0.9946 to dodge the arccos singularity)."""
+        assert schedule in ("linear", "cosine"), schedule
+        return cls(
+            t_array=jnp.zeros((1,), jnp.float32),  # unused off the discrete branch
+            log_alpha_array=jnp.zeros((1,), jnp.float32),
+            total_N=1000,
+            T=0.9946 if schedule == "cosine" else 1.0,
+            schedule=schedule,
+            beta_0=beta_0,
+            beta_1=beta_1,
+        )
+
     def marginal_log_mean_coeff(self, t):
+        if self.schedule == "linear":
+            return -0.25 * t**2 * (self.beta_1 - self.beta_0) - 0.5 * t * self.beta_0
+        if self.schedule == "cosine":
+            return (
+                jnp.log(jnp.cos((t + _COSINE_S) / (1.0 + _COSINE_S) * math.pi / 2.0))
+                - _COSINE_LOG_ALPHA_0
+            )
         return jnp.interp(t, self.t_array, self.log_alpha_array)
 
     def marginal_alpha(self, t):
@@ -76,14 +115,27 @@ class NoiseScheduleVP(struct.PyTreeNode):
         return log_mean - log_std
 
     def inverse_lambda(self, lamb):
+        if self.schedule == "linear":
+            tmp = 2.0 * (self.beta_1 - self.beta_0) * jnp.logaddexp(-2.0 * lamb, 0.0)
+            delta = self.beta_0**2 + tmp
+            return tmp / (jnp.sqrt(delta) + self.beta_0) / (self.beta_1 - self.beta_0)
         log_alpha = -0.5 * jnp.logaddexp(0.0, -2.0 * lamb)
+        if self.schedule == "cosine":
+            return (
+                jnp.arccos(jnp.exp(log_alpha + _COSINE_LOG_ALPHA_0))
+                * 2.0 * (1.0 + _COSINE_S) / math.pi
+                - _COSINE_S
+            )
         # log_alpha decreases in t; flip for increasing interp grid.
         return jnp.interp(log_alpha, self.log_alpha_array[::-1], self.t_array[::-1])
 
 
 def model_input_time(ns: NoiseScheduleVP, t_continuous, rescale: bool = False):
-    """Continuous t in [1/N, 1] -> discrete model timestep
-    (parity: ref :285-295, including the int truncation)."""
+    """Continuous t in [1/N, 1] -> model input time: the discrete timestep
+    (int truncation) for discrete schedules, t itself for continuous ones
+    (parity: ref :285-297)."""
+    if ns.schedule != "discrete":
+        return t_continuous
     max_step = 1000.0 if rescale else float(ns.total_N)
     return ((t_continuous - 1.0 / ns.total_N) * max_step).astype(jnp.int32)
 

@@ -263,3 +263,111 @@ def test_trajectory_return(setup):
         )
     )(x_T, jax.random.PRNGKey(5))
     assert ptraj["video"].shape == (T,) + x_T["video"].shape
+
+
+# ---- continuous-time NoiseScheduleVP (ref multimodal_dpm_solver_plus.py:60-190) ----
+
+
+@pytest.mark.parametrize("schedule", ["linear", "cosine"])
+def test_continuous_schedule_lambda_roundtrip(schedule):
+    """inverse_lambda(marginal_lambda(t)) == t on the solver's time domain."""
+    from mm_diffusion_tpu.samplers.dpm import NoiseScheduleVP
+
+    ns = NoiseScheduleVP.continuous(schedule)
+    t = jnp.linspace(1.0 / ns.total_N, ns.T, 64)
+    t_back = ns.inverse_lambda(ns.marginal_lambda(t))
+    np.testing.assert_allclose(np.asarray(t_back), np.asarray(t), rtol=2e-4, atol=2e-5)
+    # alpha^2 + sigma^2 == 1 (VP invariant)
+    np.testing.assert_allclose(
+        np.asarray(ns.marginal_alpha(t) ** 2 + ns.marginal_std(t) ** 2),
+        1.0,
+        atol=1e-5,
+    )
+
+
+def test_continuous_linear_matches_fine_discrete():
+    """The continuous linear VPSDE is the N->inf limit of the discrete linear
+    schedule: betas = linspace(beta_0/N, beta_1/N, N) must agree with the
+    closed form to O(1/N)."""
+    from mm_diffusion_tpu.samplers.dpm import NoiseScheduleVP
+
+    n = 4000
+    betas = np.linspace(0.1 / n, 20.0 / n, n)
+    disc = NoiseScheduleVP.from_betas(betas)
+    cont = NoiseScheduleVP.continuous("linear")
+    t = jnp.linspace(0.05, 1.0, 32)
+    np.testing.assert_allclose(
+        np.asarray(disc.marginal_log_mean_coeff(t)),
+        np.asarray(cont.marginal_log_mean_coeff(t)),
+        rtol=5e-3,
+        atol=5e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(disc.marginal_lambda(t)),
+        np.asarray(cont.marginal_lambda(t)),
+        rtol=1e-2,
+        atol=1e-2,
+    )
+
+
+def test_continuous_schedule_torch_parity():
+    """Golden parity vs the reference NoiseScheduleVP continuous branches."""
+    torch = pytest.importorskip("torch")
+    import math as _math
+
+    from mm_diffusion_tpu.samplers.dpm import NoiseScheduleVP
+
+    # reference math transcribed from multimodal_dpm_solver_plus.py:137-190
+    def ref_log_mean(t, schedule, b0=0.1, b1=20.0):
+        if schedule == "linear":
+            return -0.25 * t**2 * (b1 - b0) - 0.5 * t * b0
+        s = 0.008
+        la0 = _math.log(_math.cos(s / (1 + s) * _math.pi / 2))
+        return torch.log(torch.cos((t + s) / (1 + s) * _math.pi / 2)) - la0
+
+    def ref_inverse_lambda(lamb, schedule, b0=0.1, b1=20.0):
+        if schedule == "linear":
+            tmp = 2.0 * (b1 - b0) * torch.logaddexp(-2.0 * lamb, torch.zeros(1))
+            delta = b0**2 + tmp
+            return tmp / (torch.sqrt(delta) + b0) / (b1 - b0)
+        s = 0.008
+        la0 = _math.log(_math.cos(s / (1 + s) * _math.pi / 2))
+        log_alpha = -0.5 * torch.logaddexp(-2.0 * lamb, torch.zeros(1))
+        return torch.arccos(torch.exp(log_alpha + la0)) * 2.0 * (1 + s) / _math.pi - s
+
+    for schedule in ("linear", "cosine"):
+        ns = NoiseScheduleVP.continuous(schedule)
+        t_np = np.linspace(1e-3, ns.T, 33, dtype=np.float32)
+        got = np.asarray(ns.marginal_log_mean_coeff(jnp.asarray(t_np)))
+        want = ref_log_mean(torch.from_numpy(t_np), schedule).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+        lam = np.asarray(ns.marginal_lambda(jnp.asarray(t_np)))
+        got_t = np.asarray(ns.inverse_lambda(jnp.asarray(lam)))
+        want_t = ref_inverse_lambda(torch.from_numpy(lam), schedule).numpy()
+        np.testing.assert_allclose(got_t, want_t, rtol=1e-4, atol=1e-5)
+
+
+def test_dpm_solver_runs_on_continuous_schedule(setup):
+    """Full multistep solve against a model trained nowhere — just proves the
+    continuous branch threads through wrap_model/sample (float model-input t)."""
+    from mm_diffusion_tpu.samplers.dpm import DPMSolver, NoiseScheduleVP, wrap_model
+
+    ns = NoiseScheduleVP.continuous("linear")
+
+    def raw_model(x, t):
+        # t arrives as CONTINUOUS float here (no int truncation off-discrete)
+        assert jnp.issubdtype(t.dtype, jnp.floating)
+        return jax.tree.map(lambda l: l * 0.1 + t.reshape((-1,) + (1,) * (l.ndim - 1)), x)
+
+    model_fn = wrap_model(raw_model, ns)
+    solver = DPMSolver(model_fn, ns, predict_x0=True)
+    x = {
+        "video": jnp.ones((2, 4, 8, 8, 3)),
+        "audio": jnp.ones((2, 64, 1)),
+    }
+    out = jax.jit(
+        lambda xx: solver.sample(xx, steps=6, order=2, method="multistep")
+    )(x)
+    for leaf in jax.tree_util.tree_leaves(out):
+        assert np.isfinite(np.asarray(leaf)).all()
