@@ -235,6 +235,71 @@ def build_sr_sampler(
     return sr
 
 
+def build_single_sampler(
+    model,
+    diffusion: GaussianDiffusion,
+    params,
+    sample_fn: str = "ddim",
+    steps: int = 50,
+    clip_denoised: bool = True,
+):
+    """Unconditional sampler for a single-modal video/audio model
+    (parity: the sampler dispatch inside save_visual/save_audio,
+    train_util.py:426-446,:509-534).  Returns ``sample(rng, n) -> [n, ...]``.
+    """
+    cfg = model.cfg
+    shape = cfg.sample_shape
+    learn_sigma = cfg.out_channels == 2 * shape[-1]
+
+    def raw(x, t_model, strip_sigma: bool):
+        out = model.apply({"params": params}, x, t_model)
+        if strip_sigma and learn_sigma:
+            out = out[..., : out.shape[-1] // 2]
+        return out
+
+    if sample_fn in ("dpm_solver", "dpm_solver++"):
+        ns = NoiseScheduleVP.from_alphas_cumprod(
+            np.asarray(diffusion.tables.alphas_cumprod, np.float64)
+        )
+
+        def cont_model(x, t_cont):
+            t_in = jnp.broadcast_to(
+                jnp.atleast_1d(model_input_time(ns, t_cont)), (x.shape[0],)
+            )
+            return raw(x, t_in, strip_sigma=True)
+
+        solver = DPMSolver(
+            cont_model, ns, predict_x0=(sample_fn == "dpm_solver++"),
+            thresholding=(sample_fn == "dpm_solver++"),
+        )
+
+        def sample(rng, n):
+            x_T = jax.random.normal(rng, (n,) + shape)
+            # save_visual's dpm path: 50 steps, order 2, time_uniform,
+            # multistep (train_util.py:437-438)
+            return solver.sample(
+                x_T, steps=steps, order=2, method="multistep",
+                skip_type="time_uniform",
+            )
+
+    elif sample_fn in ("ddpm", "ddim"):
+
+        def model_fn(x, t_model, step_rng):
+            return raw(x, t_model, strip_sigma=False)
+
+        loop = p_sample_loop if sample_fn == "ddpm" else ddim_sample_loop
+
+        def sample(rng, n):
+            rng, k = jax.random.split(rng)
+            x_T = jax.random.normal(k, (n,) + shape)
+            return loop(diffusion, model_fn, x_T, rng, clip_denoised=clip_denoised)
+
+    else:
+        raise ValueError(sample_fn)
+
+    return sample
+
+
 def shared_clip_noise(rng: jax.Array, n_clips: int, frames: int, size: int) -> jnp.ndarray:
     """One noise image per clip, repeated across its frames
     (parity: repeat(noise,'b c h w -> (b repeat) c h w'),

@@ -74,10 +74,14 @@ class TrainLoop:
         preview_samples: int = 4,
         init_params=None,
         min_size_to_shard: int = 2**18,
+        task=None,
     ):
         # NOTE: the loop takes OWNERSHIP of init_params — the jitted train
         # step donates the state, so the caller's arrays may be deleted
         # after the first step (pass jax.tree.map(jnp.copy, p) to keep them).
+        from .tasks import MultimodalTask
+
+        self.task = task if task is not None else MultimodalTask()
         self.model = model
         self.diffusion = diffusion
         self.data = data
@@ -88,6 +92,7 @@ class TrainLoop:
         self.sample_fn_name = sample_fn
         self.save_preview = save_preview
         self.preview_samples = preview_samples
+        self.last_batch = None  # host copy, for condition-dependent previews
         self.mesh = mesh if mesh is not None else make_mesh()
         # attention kernels shard_map over this mesh (tpu_custom_call has no
         # GSPMD partitioning rule — without this the kernels would force an
@@ -97,25 +102,11 @@ class TrainLoop:
         set_kernel_mesh(self.mesh if self.mesh.size > 1 else None)
         self.rng = jax.random.PRNGKey(seed)
 
-        cfg = model.cfg
-        f, c, h, w = cfg.video_size
-        ca, l = cfg.audio_size
-        self.video_shape = (f, h, w, c)
-        self.audio_shape = (l, ca)
-
         if init_params is None:
-            self.rng, k_init, k_shift = jax.random.split(self.rng, 3)
-            dummy_v = jnp.zeros((1, f, h, w, c), jnp.float32)
-            dummy_a = jnp.zeros((1, l, ca), jnp.float32)
-            # jit the init: eager per-op dispatch is pathological on remote
-            # device transports
-            variables = jax.jit(model.init)(
-                {"params": k_init, "shift": k_shift},
-                dummy_v,
-                dummy_a,
-                jnp.zeros((1,), jnp.int32),
-            )
-            init_params = variables["params"]
+            self.rng, k_init = jax.random.split(self.rng)
+            # jit the init (inside the task): eager per-op dispatch is
+            # pathological on remote device transports
+            init_params = self.task.init_params(model, k_init)
 
         self.tx = make_optimizer(lr, weight_decay, lr_anneal_steps)
         sampler = create_named_schedule_sampler(schedule_sampler, diffusion.num_timesteps)
@@ -139,7 +130,14 @@ class TrainLoop:
         self._state_sh = state_shardings(state, self.mesh, min_size_to_shard)
         self.state = host_to_mesh(state, self._state_sh)
 
-        step_fn = make_train_step(model, diffusion, self.tx, accum_steps=accum_steps)
+        step_fn = make_train_step(
+            model,
+            diffusion,
+            self.tx,
+            accum_steps=accum_steps,
+            train_rngs=self.task.train_rngs,
+            adapter=self.task.adapter(model),
+        )
         self._train_step = jax.jit(
             step_fn,
             donate_argnums=(0,),
@@ -149,6 +147,7 @@ class TrainLoop:
 
     # ------------------------------------------------------------------
     def run_step(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
+        self.last_batch = batch  # kept for condition-dependent previews
         batch = shard_batch(batch, self.mesh)
         self.rng, step_rng = jax.random.split(self.rng)
         self.state, metrics = self._train_step(self.state, batch, step_rng)
@@ -236,29 +235,8 @@ class TrainLoop:
         )
 
     def sample_preview(self, step: int):
-        """EMA-weight preview sampling + media dump
-        (parity: save_video, multimodal_train_util.py:348-468)."""
-        from ..data import media
-
-        ema_key = next(iter(self.state.ema))
-        params = self.state.ema[ema_key]
-        # Shard the preview batch over the mesh whenever it divides — the
-        # same SPMD decomposition as the training step, so previews on a
-        # multi-chip mesh cost 1/N of a replicated run (the EMA params are
-        # already mesh-placed; jax.random draws are sharding-invariant).
-        out_sh = None
-        if self.mesh is not None and self.mesh.size > 1:
-            if self.preview_samples % self.mesh.size == 0:
-                out_sh = batch_sharding(self.mesh)
-        sample = jax.jit(
-            self.make_sampling_fn(params), static_argnums=(1,), out_shardings=out_sh
-        )
-        self.rng, k = jax.random.split(self.rng)
-        out = jax.device_get(sample(k, self.preview_samples))
-        vids = np.asarray(out["video"])
-        auds = np.asarray(out["audio"])
-        base = f"{self.output_dir}/previews/step_{step:06d}"
-        media.save_video_grid(vids, base + "_grid.mp4")
-        for i in range(vids.shape[0]):
-            media.save_multimodal(vids[i], auds[i], f"{base}_{i:02d}")
-        kvlogger.log(f"wrote preview samples -> {base}*")
+        """EMA-weight preview sampling + media dump, delegated to the task
+        (multimodal: save_video parity, multimodal_train_util.py:348-468;
+        SR: save_sr triptychs, train_util.py:566-671; single-modal video/
+        audio: save_visual/save_audio, train_util.py:399,:485)."""
+        self.task.preview(self, step)

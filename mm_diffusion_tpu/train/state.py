@@ -91,37 +91,57 @@ def quartile_metrics(name: str, t: jnp.ndarray, values: jnp.ndarray, num_timeste
     return out
 
 
+def multimodal_adapter(model):
+    """Default batch adapter: joint AV batches for the coupled MM-UNet."""
+
+    def adapt(params, micro, rngs):
+        def model_fn(x, t_model):
+            v, a = model.apply(
+                {"params": params}, x["video"], x["audio"], t_model, train=True,
+                rngs=rngs,
+            )
+            return {"video": v, "audio": a}
+
+        return micro, model_fn
+
+    return adapt
+
+
 def make_train_step(
     model,
     diffusion: GaussianDiffusion,
     tx: optax.GradientTransformation,
     accum_steps: int = 1,
     train_rngs: Tuple[str, ...] = ("shift", "dropout"),
+    adapter=None,
 ):
     """Build the pure train step ``(state, batch, rng) -> (state, metrics)``.
 
-    ``batch`` is the *global* batch pytree ``{"video": [B,F,H,W,C], "audio":
-    [B,L,C]}``; under a mesh the caller shards its leading axis over the data
-    axis and jit inserts the gradient psum.  With ``accum_steps > 1`` the
-    batch is split into microbatches scanned sequentially (the reference's
+    ``batch`` is the *global* batch pytree (default: ``{"video": [B,F,H,W,C],
+    "audio": [B,L,C]}``); under a mesh the caller shards its leading axis over
+    the data axis and jit inserts the gradient psum.  With ``accum_steps > 1``
+    the batch is split into microbatches scanned sequentially (the reference's
     no_sync() microbatching, multimodal_train_util.py:289-319).
+
+    ``adapter(params, micro, rngs) -> (x_start, model_fn)`` maps a microbatch
+    to the diffusion target pytree and the bound model function — this is how
+    the one step function serves the coupled model, the image-SR model
+    (``low_res`` conditioning), and the single-modal video/audio models
+    (replacing the reference's per-task TrainLoop duplication,
+    train_util.py:34 vs multimodal_train_util.py:25).
     """
+    if adapter is None:
+        adapter = multimodal_adapter(model)
 
     def loss_for_batch(params, micro, t, weights, rng):
         k_loss, k_shift, k_drop = jax.random.split(rng, 3)
-
-        def model_fn(x, t_model):
-            rngs = {}
-            if "shift" in train_rngs:
-                rngs["shift"] = k_shift
-            if "dropout" in train_rngs:
-                rngs["dropout"] = k_drop
-            v, a = model.apply(
-                {"params": params}, x["video"], x["audio"], t_model, train=True, rngs=rngs
-            )
-            return {"video": v, "audio": a}
-
-        terms = diffusion.training_losses(model_fn, micro, t, k_loss)
+        rngs = {}
+        if "shift" in train_rngs:
+            rngs["shift"] = k_shift
+        if "dropout" in train_rngs:
+            rngs["dropout"] = k_drop
+        x_start, model_fn = adapter(params, micro, rngs)
+        terms = diffusion.training_losses(model_fn, x_start, t, k_loss)
         loss = jnp.mean(terms["loss"] * weights)
         return loss, terms
 

@@ -21,13 +21,30 @@ import jax
 
 
 def _cpu_flags() -> str:
+    """Host-CPU identity string: ISA flags AND the model identity.
+
+    The flags alone are not enough (advisor r3 follow-up): XLA:CPU AOT
+    results also bake LLVM *tuning* pseudo-features (+prefer-no-scatter,
+    +prefer-no-gather) that derive from the CPU family/model/stepping, so
+    two hosts with identical ISA flag lists can still produce mismatched
+    AOT entries.  Including the model lines makes the signature change
+    whenever the tuning could."""
+    ident, flags = [], ""
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    return " ".join(sorted(line.split()[2:]))
+                key = line.split(":")[0].strip()
+                if key == "flags" and not flags:
+                    flags = " ".join(sorted(line.split()[2:]))
+                elif key in ("vendor_id", "cpu family", "model", "model name",
+                             "stepping") and len(ident) < 5:
+                    ident.append(line.strip())
+                if flags and len(ident) >= 5:
+                    break
     except OSError:
         pass
+    if flags or ident:
+        return "|".join(ident) + "||" + flags
     return platform.machine()
 
 

@@ -193,12 +193,17 @@ def test_audio2video_cli(tmp_path):
 
 
 def test_sr_preview_triptych(tmp_path):
+    """ImageSRTask.preview writes the bicubic|sample|hr triptych (parity:
+    save_sr, train_util.py:566-671) from a minimal loop facade."""
+    import types
+
     import jax
     import jax.numpy as jnp
 
     from mm_diffusion_tpu.configs import create_image_sr_config
     from mm_diffusion_tpu.models.image_unet import ImageSuperResModel
-    from mm_diffusion_tpu.scripts.image_sr_train import save_sr_preview, synthetic_sr_data
+    from mm_diffusion_tpu.scripts.image_sr_train import synthetic_sr_data
+    from mm_diffusion_tpu.train.tasks import ImageSRTask
 
     import dataclasses
 
@@ -212,9 +217,16 @@ def test_sr_preview_triptych(tmp_path):
         {"params": jax.random.PRNGKey(0)},
         jnp.zeros((1, 16, 16, 3)), jnp.zeros((1,), jnp.int32), jnp.zeros((1, 8, 8, 3)),
     )
-    batch = next(synthetic_sr_data(4, 16, 8))
-    out = str(tmp_path / "trip.png")
-    save_sr_preview(model, None, variables["params"], batch, out, steps=5)
+    loop = types.SimpleNamespace(
+        model=model,
+        diffusion=types.SimpleNamespace(num_timesteps=50),
+        state=types.SimpleNamespace(ema={"0.9999": variables["params"]}),
+        last_batch=next(synthetic_sr_data(4, 16, 8)),
+        rng=jax.random.PRNGKey(0),
+        output_dir=str(tmp_path),
+    )
+    ImageSRTask(16, 8, preview_steps=5).preview(loop, step=7)
+    out = str(tmp_path / "previews" / "step_000007.png")
     assert os.path.getsize(out) > 0
 
 
