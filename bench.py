@@ -249,6 +249,54 @@ def main():
     except Exception as e:  # never let the train probe kill the headline
         print(f"# train-step probe skipped: {e}", flush=True)
 
+    # -- training throughput over the REAL data pipeline (VERDICT r3 #4) -------
+    # Synthetic media files on disk -> the production PyAV/cv2 loader ->
+    # the prefetching TrainLoop staging path -> the jitted step.  This prices
+    # decode + host->device transfer into steps/s instead of assuming zero.
+    train_real_steps_per_sec = None
+    try:
+        import shutil
+        import tempfile
+
+        import numpy as _np
+
+        from mm_diffusion_tpu.data.media import save_multimodal
+        from mm_diffusion_tpu.data.video import load_data as _load_real
+        from mm_diffusion_tpu.train.loop import _DevicePrefetcher
+        from mm_diffusion_tpu.parallel import make_mesh as _make_mesh
+
+        media_dir = tempfile.mkdtemp(prefix="bench_media_")
+        rng_np = _np.random.RandomState(0)
+        for i in range(6):  # 6 files x 48 frames = plenty of 16f clips
+            vid = rng_np.randint(0, 255, (48, 64, 64, 3), _np.uint8)
+            aud = (rng_np.uniform(-0.5, 0.5, (16000 * 5, 1))).astype(_np.float32)
+            save_multimodal(vid, aud, f"{media_dir}/clip_{i:02d}", fps=10)
+        data_it = _load_real(
+            data_dir=media_dir, batch_size=TB,
+            video_size=(16, 3, 64, 64), audio_size=(1, 25600),
+            video_fps=10.0, audio_fps=16000, num_workers=4, shard=0, num_shards=1,
+        )
+        mesh1 = _make_mesh()
+        pf = _DevicePrefetcher(data_it, mesh1)
+        tstate = create_train_state(
+            jax.tree.map(jnp.copy, tparams), ttx, ema_rates=(0.9999,)
+        )
+        tstep = jax.jit(make_train_step(tmodel, tdiff, ttx), donate_argnums=0)
+        _, dev0 = next(pf)
+        tstate, tm = tstep(tstate, dev0, trng)  # compile/warm (cache-hot)
+        jax.block_until_ready(tm["loss"])
+        n_real = 10
+        t0 = time.perf_counter()
+        for _ in range(n_real):
+            _, dev = next(pf)
+            tstate, tm = tstep(tstate, dev, trng)
+        jax.block_until_ready(tm["loss"])
+        train_real_steps_per_sec = n_real / (time.perf_counter() - t0)
+        del tstate
+        shutil.rmtree(media_dir, ignore_errors=True)
+    except Exception as e:  # never let the data probe kill the headline
+        print(f"# real-data train probe skipped: {e}", flush=True)
+
     # -- combine -----------------------------------------------------------------
     t_per_pair = NFE_BASE * base_s_per_pair + NFE_SR * sr_s
     pairs_per_sec = 1.0 / t_per_pair
@@ -283,6 +331,18 @@ def main():
                     "train_examples_per_sec": (
                         round(train_ex_per_sec, 2) if train_ex_per_sec else None
                     ),
+                    "train_steps_per_sec_real_data": (
+                        round(train_real_steps_per_sec, 3)
+                        if train_real_steps_per_sec
+                        else None
+                    ),
+                    # The headline `value` is the analytic composition
+                    # 1 / (NFE_base * t_base_eval/BATCH + NFE_sr * t_sr_eval)
+                    # from the chained-eval timings above (stable, excludes
+                    # sampler glue); `pipeline_pairs_per_sec` times the real
+                    # jitted base+SR pipeline end-to-end and is the
+                    # cross-check.  Compare like with like across rounds.
+                    "headline_derivation": "analytic: 1/(NFE_base*t_base/B + NFE_sr*t_sr)",
                     "device": str(jax.devices()[0]),
                     "knobs": {
                         k: os.environ[k]

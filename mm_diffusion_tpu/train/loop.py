@@ -43,6 +43,56 @@ def parse_ema_rates(ema_rate) -> Sequence[float]:
     return tuple(float(x) for x in str(ema_rate).split(","))
 
 
+class _DevicePrefetcher:
+    """One-batch-ahead host->device pipeline.
+
+    A daemon thread pulls the next host batch and stages it onto the mesh
+    (``shard_batch`` = device_put) while the current step computes, so decode
+    and host->device transfer overlap device work (SURVEY §7 step 5; the
+    reference hides decode latency behind GPU work with DataLoader workers,
+    multimodal_datasets.py:102).  Yields ``(host_batch, device_batch)`` — the
+    host copy feeds condition-dependent previews.
+
+    Multi-process note: every process prefetches its own local shard in FIFO
+    order, so the k-th ``shard_batch`` (a collective-free global-array
+    assembly) pairs up across processes exactly as the synchronous loop did.
+    """
+
+    _END = object()
+
+    def __init__(self, data: Iterator, mesh, depth: int = 2):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=depth)
+        self._data = data
+        self._mesh = mesh
+        self._thread = threading.Thread(
+            target=self._worker, name="mmdiff-prefetch", daemon=True
+        )
+        self._thread.start()
+
+    def _worker(self):
+        try:
+            for batch in self._data:
+                self._q.put((batch, shard_batch(batch, self._mesh)))
+        except BaseException as e:  # surface loader errors on the main thread
+            self._q.put(e)
+            return
+        self._q.put(self._END)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._END:
+            raise StopIteration
+        if isinstance(item, BaseException):
+            raise item
+        return item
+
+
 class TrainLoop:
     """Multimodal training loop (parity surface: multimodal_train_util.py:25-549).
 
@@ -147,10 +197,12 @@ class TrainLoop:
 
     # ------------------------------------------------------------------
     def run_step(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
-        self.last_batch = batch  # kept for condition-dependent previews
-        batch = shard_batch(batch, self.mesh)
+        return self._run_step_staged(batch, shard_batch(batch, self.mesh))
+
+    def _run_step_staged(self, host_batch, device_batch) -> Dict[str, float]:
+        self.last_batch = host_batch  # kept for condition-dependent previews
         self.rng, step_rng = jax.random.split(self.rng)
-        self.state, metrics = self._train_step(self.state, batch, step_rng)
+        self.state, metrics = self._train_step(self.state, device_batch, step_rng)
         return metrics
 
     def run_loop(self, max_steps: Optional[int] = None):
@@ -164,6 +216,10 @@ class TrainLoop:
         t_last = time.time()
         step = int(jax.device_get(self.state.step))
         pending = []
+        # lazily wrap the data iterator once (per loop instance) so repeated
+        # run_loop calls keep draining the same prefetch queue
+        if not hasattr(self, "_prefetch"):
+            self._prefetch = _DevicePrefetcher(self.data, self.mesh)
 
         def flush():
             if pending:
@@ -178,8 +234,8 @@ class TrainLoop:
                 if max_steps is not None and step >= max_steps:
                     break
                 with log.profile_kv("data"):
-                    batch = next(self.data)
-                metrics = self.run_step(batch)
+                    host_batch, device_batch = next(self._prefetch)
+                metrics = self._run_step_staged(host_batch, device_batch)
                 step += 1
                 pending.append(metrics)
                 if step % self.log_interval == 0:

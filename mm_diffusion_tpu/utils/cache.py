@@ -59,6 +59,16 @@ DEFAULT_DIR = os.path.expanduser(f"~/.cache/jax_comp_{_cpu_signature()}")
 _LEGACY_DIR = os.path.expanduser("~/.cache/jax_comp")
 
 
+def _platform_intent() -> str:
+    """The process's declared jax platform ('' when unset = auto/TPU)."""
+    try:
+        p = jax.config.jax_platforms or ""
+    except AttributeError:  # pragma: no cover - config name drift
+        p = ""
+    p = p or os.environ.get("JAX_PLATFORMS", "")
+    return p.split(",")[0].strip().lower()
+
+
 def enable_compilation_cache(cache_dir: str = DEFAULT_DIR):
     """Point jax's persistent compile cache at a host-CPU-keyed directory.
 
@@ -69,7 +79,17 @@ def enable_compilation_cache(cache_dir: str = DEFAULT_DIR):
     a HOST_SIGNATURE file with the full verbatim flags string; any mismatch
     (including a hash collision) purges the directory instead of risking a
     latent SIGILL.  The legacy unkeyed directory is removed outright.
+
+    CPU-intent processes (tests, dryruns, forced-CPU CLI runs) skip the
+    persistent cache entirely: XLA:CPU AOT results bake LLVM *tuning*
+    pseudo-features (+prefer-no-scatter/+prefer-no-gather) that host feature
+    detection never reports, so every reload — even on the very machine that
+    compiled the entry — logs the SIGILL warning.  No signature scheme can
+    distinguish that false alarm from a real cross-host mismatch, and CPU
+    compiles are cheap; correctness noise-freedom wins (advisor r3 medium).
     """
+    if _platform_intent() == "cpu":
+        return
     if cache_dir == DEFAULT_DIR and os.path.isdir(_LEGACY_DIR):
         shutil.rmtree(_LEGACY_DIR, ignore_errors=True)
     os.makedirs(cache_dir, exist_ok=True)
