@@ -407,7 +407,19 @@ def convert_audioclip_audio_tower(state_dict: Dict[str, Any], prefix: str = "aud
 
 
 def load_audioclip_audio_tower(checkpoint_path: str):
-    """Load + convert the published AudioCLIP checkpoint for FAD embedding."""
+    """Load + convert the published AudioCLIP checkpoint for FAD embedding.
+
+    Accepts the torch ``.pt`` or a native Orbax directory from
+    ``tools/convert_weights.py audioclip[_audio]`` (torch-free)."""
+    import os
+
+    if os.path.isdir(checkpoint_path):
+        from ..train.checkpoint import restore_params
+
+        tree = restore_params(checkpoint_path)
+        if isinstance(tree, dict) and "audio" in tree and "visual" in tree:
+            tree = tree["audio"]  # full-AudioCLIP conversion layout
+        return ESResNeXtFBSP(), tree
     import torch
 
     sd = torch.load(checkpoint_path, map_location="cpu")

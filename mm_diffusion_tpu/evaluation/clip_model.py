@@ -389,10 +389,24 @@ class AudioCLIPScorer:
 
 def load_audioclip_full(checkpoint_path: str) -> AudioCLIPScorer:
     """Build the frozen audio+visual AudioCLIP from the published
-    ``AudioCLIP-Full-Training.pt``."""
-    import torch
+    ``AudioCLIP-Full-Training.pt`` or from a native Orbax directory
+    produced by ``tools/convert_weights.py audioclip`` (torch-free)."""
+    import os
 
     from .audioclip import ESResNeXtFBSP, convert_audioclip_audio_tower
+
+    if os.path.isdir(checkpoint_path):
+        from ..train.checkpoint import restore_params
+
+        tree = restore_params(checkpoint_path)
+        return AudioCLIPScorer(
+            ESResNeXtFBSP(),
+            tree["audio"],
+            CLIPVisualResNet(),
+            tree["visual"],
+            float(np.asarray(tree["scale_ai"])),
+        )
+    import torch
 
     sd = torch.load(checkpoint_path, map_location="cpu")
     if isinstance(sd, dict) and "state_dict" in sd:

@@ -193,11 +193,19 @@ def convert_torch_i3d(state_dict: Dict[str, Any]):
 
 
 def load_i3d(checkpoint_path: str):
-    """Load + convert the torch I3D checkpoint (requires the file on disk;
-    the reference's auto-download, evaluations/fvd/download.py, needs egress)."""
+    """Load the I3D weights: either the published torch ``.pt`` (converted
+    in-process; the reference auto-downloads it, evaluations/fvd/download.py,
+    which needs egress) or a native Orbax directory produced once by
+    ``tools/convert_weights.py i3d`` (torch-free from then on)."""
+    import os
+
+    model = InceptionI3d()
+    if os.path.isdir(checkpoint_path):
+        from ..train.checkpoint import restore_params
+
+        return model, restore_params(checkpoint_path)
     import torch
 
     sd = torch.load(checkpoint_path, map_location="cpu")
     variables = convert_torch_i3d({k: v.numpy() for k, v in sd.items()})
-    model = InceptionI3d()
     return model, variables

@@ -30,6 +30,7 @@ from .layers import (
     cat_parts,
     image_downsample,
     image_upsample,
+    subpixel_interleave,
 )
 
 Dtype = Any
@@ -103,11 +104,18 @@ class ImageResBlock(nn.Module):
             h, x = image_downsample(h), jax.tree.map(image_downsample, x)
         elif self.up:
             # Exact upsample+conv fusion: the 3x3 conv over the nearest-2x
-            # image runs as a 2x2 phase conv at LOW resolution (16 vs 36
-            # MACs per hi-res pixel, no 4x intermediate in HBM).  Same
-            # params as the nn.Conv below — checkpoints are unaffected.
+            # image runs as an aligned phase conv at LOW resolution (no 4x
+            # intermediate in HBM, 4*Co fills the MXU N dim).  Same params
+            # as the nn.Conv below — checkpoints are unaffected.  The output
+            # stays in phase layout [B, H, W, 4, Co] through norm_out /
+            # FiLM / SiLU (all pointwise or permutation-invariant); the one
+            # bf16 depth-to-space happens right before conv_out, where
+            # spatial layout is first needed (an immediate interleave cost
+            # ~5 ms/eval of fp32 layout copies at the 256^2 SR site).
             x = jax.tree.map(image_upsample, x)
-            h = SubpixelUpConv(self.out_ch, dtype=dt, name="conv_in")(h)
+            h = SubpixelUpConv(
+                self.out_ch, dtype=dt, interleave=False, name="conv_in"
+            )(h)
         if not self.up:
             h = nn.Conv(self.out_ch, (3, 3), name="conv_in", **conv_kw)(h)
 
@@ -117,12 +125,17 @@ class ImageResBlock(nn.Module):
         )
         dropout = nn.Dropout(cfg.dropout, deterministic=not self.train)
         if cfg.use_scale_shift_norm:
-            scale, shift = jnp.split(emb_out[:, None, None, :], 2, axis=-1)
-            h = GroupNormFP32(name="norm_out", channel_sum_stats=gs)(h) * (1 + scale) + shift
+            # FiLM folds into the GN normalize coefficients ([B, C] math;
+            # ONE fused pass over the activation — see GroupNormFP32.film)
+            film = tuple(jnp.split(emb_out, 2, axis=-1))
+            h = GroupNormFP32(name="norm_out", channel_sum_stats=gs)(h, film=film)
             h = dropout(nn.silu(h))
         else:
-            h = h + emb_out[:, None, None, :]
+            bcast = (slice(None),) + (None,) * (h.ndim - 2)  # [B, 1..., C]
+            h = h + emb_out[bcast]
             h = dropout(nn.silu(GroupNormFP32(name="norm_out", channel_sum_stats=gs)(h)))
+        if self.up:
+            h = subpixel_interleave(h)
         h = nn.Conv(
             self.out_ch, (3, 3), kernel_init=zeros_init, bias_init=zeros_init,
             name="conv_out", **conv_kw,

@@ -88,7 +88,13 @@ class GroupNormFP32(nn.Module):
     channel_sum_stats: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, film=None):
+        """``film=(scale, shift)`` ([B, C] each) folds the FiLM affine
+        ``y * (1 + scale) + shift`` (use_scale_shift_norm's emb injection)
+        into the normalize coefficients: the per-channel math happens on
+        tiny [B, C] tensors and the big activation sees ONE fused
+        multiply-add pass instead of normalize-then-FiLM — under remat the
+        backward then rematerializes one pass, not two."""
         parts = x if isinstance(x, tuple) else (x,)
         ch = sum(p.shape[-1] for p in parts)
         groups = self.num_groups
@@ -117,7 +123,15 @@ class GroupNormFP32(nn.Module):
                 use_scale=False,
                 name="_stats",  # param-less (scale/bias live in _GNParams)
             )(x.astype(jnp.float32))
-            return (y * scale + bias).astype(x.dtype)
+            eff_s, eff_b = scale, bias
+            if film is not None:
+                fs, fb = film
+                bshape = (x.shape[0],) + (1,) * (x.ndim - 2) + (ch,)
+                eff_s = (scale * (1.0 + fs.astype(jnp.float32))).reshape(bshape)
+                eff_b = (
+                    bias * (1.0 + fs.astype(jnp.float32)) + fb.astype(jnp.float32)
+                ).reshape(bshape)
+            return (y * eff_s + eff_b).astype(x.dtype)
 
         b = parts[0].shape[0]
         red = tuple(range(1, parts[0].ndim - 1))
@@ -145,6 +159,10 @@ class GroupNormFP32(nn.Module):
         # y = (x - mean) * rstd * scale + bias == x * cs + cb
         cs_all = rstd_c * scale
         cb_all = bias - mean_c * cs_all
+        if film is not None:  # fold FiLM on the tiny [B, C] coefficients
+            fs, fb = film
+            cs_all = cs_all * (1.0 + fs.astype(jnp.float32))
+            cb_all = cb_all * (1.0 + fs.astype(jnp.float32)) + fb.astype(jnp.float32)
         shape = (b,) + (1,) * (parts[0].ndim - 2)
 
         outs = []
@@ -298,17 +316,25 @@ class SubpixelUpConv(nn.Module):
     """``conv3x3(nearest_up2(x))`` computed at LOW resolution — exact rewrite.
 
     Nearest 2x replication collapses the 3x3 taps of each hi-res output
-    phase ``(a, b) in {0,1}^2`` onto a 2x2 low-res window:
+    phase ``(a, b) in {0,1}^2`` onto low-res taps:
 
-      rows, phase a=0 (taps i-1, i):   [w0,    w1+w2]
-      rows, phase a=1 (taps i, i+1):   [w0+w1, w2   ]   (columns identical)
+      rows, phase a=0 (hi taps 2i-1, 2i, 2i+1 -> low i-1, i, i):
+            [w0, w1+w2, 0]
+      rows, phase a=1 (hi taps 2i, 2i+1, 2i+2 -> low i, i, i+1):
+            [0, w0+w1, w2]          (columns identical)
 
-    One VALID 2x2 conv over the once-padded input with ``4*Co`` phase
-    channels replaces the hi-res SAME 3x3 conv: 16 vs 36 MACs per hi-res
-    pixel, N=4*Co instead of Co on the MXU, and the 4x nearest-up
-    intermediate never touches HBM.  Phase slices are interleaved
-    depth-to-space at the end (one elementwise pass, same cost as the
-    upsample write it replaces).
+    Writing each phase's collapsed 2-tap window at its own offset inside a
+    FULL 3x3 low-res footprint makes all four phases share one aligned
+    window, so a single SAME 3x3 conv with ``4*Co`` output channels computes
+    everything: the MXU sees N = 4*Co (e.g. 768 = 6 full lane tiles where Co
+    = 192 alone would pad 192 -> 256, a 25% N tax), the 4x nearest-up
+    intermediate never touches HBM, and the finish is a plain depth-to-space
+    (one elementwise interleave that fuses into the consumer).  The earlier
+    2x2-VALID formulation had fewer MACs (16 vs 36 per hi-res pixel) but its
+    four phase outputs lived at *offset* windows — the overlapping-slice
+    re-interleave cost ~7 ms/eval at the SR U-Net's 256^2 site (r4 profile),
+    swamping the MAC saving; 36 aligned MACs at 100% N-efficiency beat 16
+    offset MACs at 75%.
 
     Param names/shapes match the ``nn.Conv(features, (3,3))`` it replaces
     ("kernel" [3,3,Ci,Co], "bias" [Co]) so checkpoints and the torch
@@ -319,6 +345,13 @@ class SubpixelUpConv(nn.Module):
 
     features: int
     dtype: Dtype = jnp.bfloat16
+    # False returns the phase layout [B, H, W, 4, Co] (phase-major (a, b))
+    # so pointwise/permutation-invariant consumers (GroupNorm stats, FiLM
+    # affine, SiLU) run BEFORE the interleave — the depth-to-space then
+    # happens once, in bf16, via subpixel_interleave() right where spatial
+    # layout is first required (profiled: interleaving immediately cost
+    # ~5 ms/eval of fp32 layout copies at the SR U-Net's 256^2 up block).
+    interleave: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -329,37 +362,34 @@ class SubpixelUpConv(nn.Module):
         )
         bias = self.param("bias", zeros_init, (co,), jnp.float32)
 
-        # Collapse rows per phase: [2, 3, Ci, Co] each.
-        r0 = jnp.stack([kernel[0], kernel[1] + kernel[2]], axis=0)
-        r1 = jnp.stack([kernel[0] + kernel[1], kernel[2]], axis=0)
-        phase = []
-        for ra in (r0, r1):
-            phase.append(jnp.stack([ra[:, 0], ra[:, 1] + ra[:, 2]], axis=1))
-            phase.append(jnp.stack([ra[:, 0] + ra[:, 1], ra[:, 2]], axis=1))
-        # [2, 2, Ci, 4*Co]; phase order (a, b) = 00, 01, 10, 11.
-        k2 = jnp.concatenate(phase, axis=-1).astype(self.dtype)
+        # Phase-collapse matrix P[a][u, t]: footprint row u of phase a reads
+        # original tap t (same matrix for columns).
+        p = jnp.asarray(
+            [[[1, 0, 0], [0, 1, 1], [0, 0, 0]],
+             [[0, 0, 0], [1, 1, 0], [0, 0, 1]]],
+            jnp.float32,
+        )
+        # k3[u, v, ci, (a, b, co)] = sum_{t,s} P[a][u,t] P[b][v,s] K[t,s]
+        k3 = jnp.einsum("aut,bvs,tsio->uvabio", p, p, kernel)
+        k3 = k3.reshape(3, 3, 4, ci, co).transpose(0, 1, 3, 2, 4)
+        k3 = k3.reshape(3, 3, ci, 4 * co).astype(self.dtype)
 
-        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
         y = jax.lax.conv_general_dilated(
-            xp.astype(self.dtype), k2, (1, 1), "VALID",
+            x.astype(self.dtype), k3, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )  # [B, H+1, W+1, 4*Co]
-        # Phase (a, b) reads rows a..a+H-1, cols b..b+W-1 of the VALID output
-        # (its 2x2 window over the padded input starts one pixel later per
-        # phase step).  Interleave to [B, 2H, 2W, Co].
-        t = jnp.stack(
-            [
-                jnp.stack(
-                    [y[:, a : a + h, b : b + w, (2 * a + b) * co : (2 * a + b + 1) * co]
-                     for b in (0, 1)],
-                    axis=3,
-                )
-                for a in (0, 1)
-            ],
-            axis=2,
-        )  # [B, H, 2, W, 2, Co]
-        out = t.reshape(bsz, 2 * h, 2 * w, co)
-        return out + bias.astype(self.dtype)
+        )  # [B, H, W, 4*Co], phase-major channel blocks (a, b)
+        y = (y.reshape(bsz, h, w, 4, co) + bias.astype(self.dtype))
+        if not self.interleave:
+            return y
+        return subpixel_interleave(y)
+
+
+def subpixel_interleave(y: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, 4, Co] phase layout -> [B, 2H, 2W, Co] (phase (a, b) lands
+    at hi-res pixel (2i+a, 2j+b)); the depth-to-space of SubpixelUpConv."""
+    bsz, h, w, _, co = y.shape
+    out = y.reshape(bsz, h, w, 2, 2, co)
+    return out.transpose(0, 1, 3, 2, 4, 5).reshape(bsz, 2 * h, 2 * w, co)
 
 
 def video_downsample(x: jnp.ndarray) -> jnp.ndarray:

@@ -315,13 +315,16 @@ class MMResBlock(nn.Module):
 
         dropout = nn.Dropout(cfg.dropout, deterministic=not train)
         if cfg.use_scale_shift_norm:
-            scale, shift = jnp.split(emb_out, 2, axis=-1)
-            vscale = scale[:, None, None, None, :]
-            vshift = shift[:, None, None, None, :]
-            video_h = GroupNormFP32(name="video_norm_out", channel_sum_stats=gs)(video_h) * (1 + vscale) + vshift
+            # FiLM folds into the GN normalize coefficients ([B, C] math;
+            # ONE fused pass over the activation — see GroupNormFP32.film)
+            film = tuple(jnp.split(emb_out, 2, axis=-1))
+            video_h = GroupNormFP32(name="video_norm_out", channel_sum_stats=gs)(
+                video_h, film=film
+            )
             video_h = dropout(nn.silu(video_h))
-            ascale, ashift = scale[:, None, :], shift[:, None, :]
-            audio_h = GroupNormFP32(name="audio_norm_out", channel_sum_stats=gs)(audio_h) * (1 + ascale) + ashift
+            audio_h = GroupNormFP32(name="audio_norm_out", channel_sum_stats=gs)(
+                audio_h, film=film
+            )
             audio_h = dropout(nn.silu(audio_h))
         else:
             video_h = video_h + emb_out[:, None, None, None, :]

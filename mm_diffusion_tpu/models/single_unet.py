@@ -192,11 +192,10 @@ class SingleResBlock(nn.Module):
         bshape = (-1,) + (1,) * (h.ndim - 2)
         dropout = nn.Dropout(cfg.dropout, deterministic=not train)
         if cfg.use_scale_shift_norm:
-            scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = GroupNormFP32(name="norm_out", channel_sum_stats=gs)(h)
-            h = h * (1 + scale.reshape(bshape + (scale.shape[-1],))) + shift.reshape(
-                bshape + (shift.shape[-1],)
-            )
+            # FiLM folds into the GN normalize coefficients ([B, C] math;
+            # ONE fused pass over the activation — see GroupNormFP32.film)
+            film = tuple(jnp.split(emb_out, 2, axis=-1))
+            h = GroupNormFP32(name="norm_out", channel_sum_stats=gs)(h, film=film)
             h = dropout(nn.silu(h))
         else:
             h = h + emb_out.reshape(bshape + (emb_out.shape[-1],))

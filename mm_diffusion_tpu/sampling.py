@@ -325,6 +325,14 @@ def sample_base_and_sr(
     activations stay bounded at any base batch size; ``sr_all_frames=True``
     batches all n*frames frames through one SR call instead (the reference's
     layout, fine for small n).
+
+    DATA-SHARDED runs must use ``sr_all_frames=True``: ``lax.map`` iterates
+    over the batch axis, so GSPMD has to all-gather the sharded video onto
+    every device and run all n clips everywhere — the exact replication
+    fallback tests/test_sharded_sampling_hlo.py audits for.  The batched
+    layout keeps the frames axis sharded (each device SRs only its own
+    clips' frames), and per-device memory is n/n_devices clips — bounded by
+    choosing batch_size accordingly.
     """
     rng, k_base, k_noise, k_sr = jax.random.split(rng, 4)
     out = base_sampler(k_base, n)

@@ -170,7 +170,12 @@ def main(argv=None):
         sr_model, sr_diffusion, sr_params,
         sample_fn=args.sr_sample_fn, steps=args.sr_sample_steps,
     )
-    fn = lambda r: sample_base_and_sr(base, sr, r, args.batch_size, sr_size, f)
+    # sharded runs batch all frames through one SR call: lax.map over clips
+    # would all-gather the sharded batch (see sample_base_and_sr docstring)
+    fn = lambda r: sample_base_and_sr(
+        base, sr, r, args.batch_size, sr_size, f,
+        sr_all_frames=args.n_sample_data > 1,
+    )
     pipeline = jax.jit(fn, out_shardings=out_shardings)
 
     n_batches = (args.sample_num + args.batch_size - 1) // args.batch_size

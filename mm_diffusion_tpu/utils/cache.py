@@ -81,14 +81,18 @@ def enable_compilation_cache(cache_dir: str = DEFAULT_DIR):
     latent SIGILL.  The legacy unkeyed directory is removed outright.
 
     CPU-intent processes (tests, dryruns, forced-CPU CLI runs) skip the
-    persistent cache entirely: XLA:CPU AOT results bake LLVM *tuning*
+    persistent cache by default: XLA:CPU AOT results bake LLVM *tuning*
     pseudo-features (+prefer-no-scatter/+prefer-no-gather) that host feature
     detection never reports, so every reload — even on the very machine that
     compiled the entry — logs the SIGILL warning.  No signature scheme can
     distinguish that false alarm from a real cross-host mismatch, and CPU
     compiles are cheap; correctness noise-freedom wins (advisor r3 medium).
+    ``MMDIFF_CPU_CACHE=1`` opts back in (the test suite sets it: repeated
+    local pytest runs reuse heavy CPU compiles, and there the warnings are
+    cosmetic — the signature-keyed directory still purges real cross-host
+    mismatches below).
     """
-    if _platform_intent() == "cpu":
+    if _platform_intent() == "cpu" and os.environ.get("MMDIFF_CPU_CACHE") != "1":
         return
     if cache_dir == DEFAULT_DIR and os.path.isdir(_LEGACY_DIR):
         shutil.rmtree(_LEGACY_DIR, ignore_errors=True)

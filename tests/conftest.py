@@ -22,6 +22,11 @@ if not _TPU:
     # sitecustomize skips axon registration entirely, so CPU test runs can't
     # hang on an unreachable device tunnel.
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    # CPU-intent processes skip the persistent compile cache by default
+    # (utils/cache.py: XLA:CPU AOT reloads always warn about tuning
+    # pseudo-features); for repeated local pytest runs the warnings are
+    # cosmetic and heavy compile reuse matters, so the suite opts back in.
+    os.environ.setdefault("MMDIFF_CPU_CACHE", "1")
 if not _TPU:
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
