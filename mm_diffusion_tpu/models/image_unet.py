@@ -25,6 +25,7 @@ from flax import linen as nn
 from .attention import TokenSelfAttention
 from .layers import (
     GroupNormFP32,
+    SpatialConvFromParts,
     SubpixelUpConv,
     TimeEmbedding,
     cat_parts,
@@ -99,41 +100,49 @@ class ImageResBlock(nn.Module):
         # better with the stock formulation (see layers.GroupNormFP32).
         gs = cfg.use_checkpoint and self.train
         h = GroupNormFP32(name="norm_in", channel_sum_stats=gs)(x)
-        h = cat_parts(jax.tree.map(nn.silu, h))
+        h = jax.tree.map(nn.silu, h)
         if self.down:
-            h, x = image_downsample(h), jax.tree.map(image_downsample, x)
+            h, x = jax.tree.map(image_downsample, h), jax.tree.map(image_downsample, x)
         elif self.up:
             # Exact upsample+conv fusion: the 3x3 conv over the nearest-2x
             # image runs as an aligned phase conv at LOW resolution (no 4x
             # intermediate in HBM, 4*Co fills the MXU N dim).  Same params
             # as the nn.Conv below — checkpoints are unaffected.  The output
-            # stays in phase layout [B, H, W, 4, Co] through norm_out /
-            # FiLM / SiLU (all pointwise or permutation-invariant); the one
-            # bf16 depth-to-space happens right before conv_out, where
-            # spatial layout is first needed (an immediate interleave cost
-            # ~5 ms/eval of fp32 layout copies at the 256^2 SR site).
+            # stays in the FLAT phase layout [B, H, W, 4*Co] through
+            # norm_out (phase_channels=4) / FiLM / SiLU — all exactly
+            # phase-invariant — and the one bf16 depth-to-space happens
+            # right before conv_out, where spatial layout is first needed.
             x = jax.tree.map(image_upsample, x)
             h = SubpixelUpConv(
                 self.out_ch, dtype=dt, interleave=False, name="conv_in"
-            )(h)
+            )(cat_parts(h))
         if not self.up:
-            h = nn.Conv(self.out_ch, (3, 3), name="conv_in", **conv_kw)(h)
+            # Split over channel parts: each part's normalize+SiLU chain
+            # input-fuses into its own convolution (see SpatialConvFromParts)
+            h = SpatialConvFromParts(
+                self.out_ch, (3, 3), dtype=dt, name="conv_in"
+            )(h)
 
         emb_dim = 2 * self.out_ch if cfg.use_scale_shift_norm else self.out_ch
         emb_out = nn.Dense(emb_dim, dtype=dt, param_dtype=jnp.float32, name="emb_proj")(
             nn.silu(emb)
         )
         dropout = nn.Dropout(cfg.dropout, deterministic=not self.train)
+        pc = 4 if self.up else 1  # flat phase layout until the interleave
         if cfg.use_scale_shift_norm:
             # FiLM folds into the GN normalize coefficients ([B, C] math;
             # ONE fused pass over the activation — see GroupNormFP32.film)
             film = tuple(jnp.split(emb_out, 2, axis=-1))
-            h = GroupNormFP32(name="norm_out", channel_sum_stats=gs)(h, film=film)
+            h = GroupNormFP32(
+                name="norm_out", channel_sum_stats=gs, phase_channels=pc
+            )(h, film=film)
             h = dropout(nn.silu(h))
         else:
             bcast = (slice(None),) + (None,) * (h.ndim - 2)  # [B, 1..., C]
-            h = h + emb_out[bcast]
-            h = dropout(nn.silu(GroupNormFP32(name="norm_out", channel_sum_stats=gs)(h)))
+            h = h + (jnp.tile(emb_out, (1, pc)) if pc > 1 else emb_out)[bcast]
+            h = dropout(nn.silu(GroupNormFP32(
+                name="norm_out", channel_sum_stats=gs, phase_channels=pc
+            )(h)))
         if self.up:
             h = subpixel_interleave(h)
         h = nn.Conv(

@@ -86,6 +86,13 @@ class GroupNormFP32(nn.Module):
     # [B, G] tensors — same math, no hostile reshape.  Model code sets
     # ``channel_sum_stats=True`` under remat/training.
     channel_sum_stats: bool = False
+    # >1 treats the channel dim as ``phase_channels`` repeated blocks of the
+    # REAL channels (SubpixelUpConv's flat phase layout [B, H, W, 4*C]):
+    # stats aggregate over phases (the interleave is a spatial permutation,
+    # so normalizing before or after it is exactly the same math) and the
+    # [B, C] coefficients tile across the blocks.  Params stay [C] —
+    # checkpoints are unaffected.
+    phase_channels: int = 1
 
     @nn.compact
     def __call__(self, x, film=None):
@@ -97,6 +104,10 @@ class GroupNormFP32(nn.Module):
         backward then rematerializes one pass, not two."""
         parts = x if isinstance(x, tuple) else (x,)
         ch = sum(p.shape[-1] for p in parts)
+        pc = self.phase_channels
+        if pc > 1:
+            assert not isinstance(x, tuple) and ch % pc == 0, (ch, pc)
+            ch //= pc
         groups = self.num_groups
         # production channel counts are multiples of 32 (reference contract);
         # smaller test configs fall back to the largest divisor <= num_groups.
@@ -108,7 +119,7 @@ class GroupNormFP32(nn.Module):
             self.channel_sum_stats
             or os.environ.get("MMDIFF_GN_SUMS", "") == "1"
         )
-        if not isinstance(x, tuple) and not force_sums:
+        if not isinstance(x, tuple) and not force_sums and pc == 1:
             # Single-array forward fast path: the stock nn.GroupNorm
             # formulation — XLA fuses its stats into the producing conv and
             # its normalize into the consuming conv (profiled; the manual
@@ -135,17 +146,20 @@ class GroupNormFP32(nn.Module):
 
         b = parts[0].shape[0]
         red = tuple(range(1, parts[0].ndim - 1))
-        n = ch // groups
+        n = (ch // groups) * pc
         for d in red:
             n *= parts[0].shape[d]
 
         csum = jnp.concatenate(
             [jnp.sum(p.astype(jnp.float32), axis=red) for p in parts], axis=-1
-        )  # [B, C]
+        )  # [B, C] ([B, pc*C] in phase layout)
         csumsq = jnp.concatenate(
             [jnp.sum(jnp.square(p.astype(jnp.float32)), axis=red) for p in parts],
             axis=-1,
         )
+        if pc > 1:  # fold the phase blocks: stats are phase-invariant
+            csum = csum.reshape(b, pc, ch).sum(1)
+            csumsq = csumsq.reshape(b, pc, ch).sum(1)
         gsum = csum.reshape(b, groups, -1).sum(-1)
         gsumsq = csumsq.reshape(b, groups, -1).sum(-1)
         mean = gsum / n
@@ -163,6 +177,9 @@ class GroupNormFP32(nn.Module):
             fs, fb = film
             cs_all = cs_all * (1.0 + fs.astype(jnp.float32))
             cb_all = cb_all * (1.0 + fs.astype(jnp.float32)) + fb.astype(jnp.float32)
+        if pc > 1:  # tile the [B, C] coefficients across the phase blocks
+            cs_all = jnp.tile(cs_all, (1, pc))
+            cb_all = jnp.tile(cb_all, (1, pc))
         shape = (b,) + (1,) * (parts[0].ndim - 2)
 
         outs = []
@@ -228,6 +245,59 @@ class PointwiseFromParts(nn.Module):
             out = y if out is None else out + y
             off += ci
         assert off == self.in_features, (off, self.in_features)
+        return out + bias.astype(self.dtype)
+
+
+class SpatialConvFromParts(nn.Module):
+    """k-tap SAME convolution over a tuple of channel parts.
+
+    ``conv(concat(parts))`` distributes over input-channel slices of the
+    kernel, so the decoder's skip concatenation never materializes: each
+    part is convolved against its kernel slice and the partials are summed
+    (the add + bias ride the last convolution's epilogue).
+
+    The fusion rationale goes beyond skipping the concat write: a concat has
+    TWO producers, so XLA materializes it and the GroupNorm-normalize + SiLU
+    chains feeding it stay standalone elementwise passes (profiled ~3.2 ms
+    per 256^2 decoder ResBlock of the SR U-Net).  Split per part, each
+    normalize+SiLU chain is the single producer of its convolution's input
+    and XLA input-fuses it into the conv — the bandwidth hides under the
+    MXU time.  Param names/shapes match the ``nn.Conv`` this replaces
+    ("kernel" [*k, Ci_total, Co], "bias" [Co]) so checkpoints and the torch
+    importer are unaffected.
+    """
+
+    features: int
+    kernel_size: Tuple[int, ...]
+    zero_init: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, parts):
+        parts = parts if isinstance(parts, tuple) else (parts,)
+        nd = len(self.kernel_size)
+        assert all(p.ndim == nd + 2 for p in parts), [p.shape for p in parts]
+        in_features = sum(p.shape[-1] for p in parts)
+        kinit = zeros_init if self.zero_init else nn.initializers.lecun_normal()
+        kernel = self.param(
+            "kernel", kinit, (*self.kernel_size, in_features, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", zeros_init, (self.features,), jnp.float32)
+        sp = "DHW"[3 - nd:]
+        dn = (f"N{sp}C", f"{sp}IO", f"N{sp}C")
+        out = None
+        off = 0
+        for p in parts:
+            ci = p.shape[-1]
+            wi = jax.lax.slice_in_dim(kernel, off, off + ci, axis=nd)
+            y = jax.lax.conv_general_dilated(
+                p.astype(self.dtype), wi.astype(self.dtype), (1,) * nd, "SAME",
+                dimension_numbers=dn,
+            )
+            out = y if out is None else out + y
+            off += ci
+        assert off == in_features, (off, in_features)
         return out + bias.astype(self.dtype)
 
 
@@ -345,12 +415,16 @@ class SubpixelUpConv(nn.Module):
 
     features: int
     dtype: Dtype = jnp.bfloat16
-    # False returns the phase layout [B, H, W, 4, Co] (phase-major (a, b))
-    # so pointwise/permutation-invariant consumers (GroupNorm stats, FiLM
-    # affine, SiLU) run BEFORE the interleave — the depth-to-space then
-    # happens once, in bf16, via subpixel_interleave() right where spatial
-    # layout is first required (profiled: interleaving immediately cost
-    # ~5 ms/eval of fp32 layout copies at the SR U-Net's 256^2 up block).
+    # False returns the FLAT phase layout [B, H, W, 4*Co] (phase-major
+    # (a, b) channel blocks — the conv's own output, untouched) so
+    # pointwise/phase-permutation-invariant consumers (GroupNorm with
+    # phase_channels=4, FiLM, SiLU) run BEFORE the interleave in the conv's
+    # natural layout; the depth-to-space then happens once, in bf16, via
+    # subpixel_interleave() right where spatial layout is first required.
+    # (A 5-D [B, H, W, 2, 2, Co] view here made XLA's layout assignment pick
+    # a W-minor layout for the whole normalize region — profiled ~5 ms/eval
+    # of fp32 relayout copies at the SR U-Net's 256^2 up block.  The flat
+    # form keeps the standard C-minor layout end to end.)
     interleave: bool = True
 
     @nn.compact
@@ -378,16 +452,18 @@ class SubpixelUpConv(nn.Module):
             x.astype(self.dtype), k3, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )  # [B, H, W, 4*Co], phase-major channel blocks (a, b)
-        y = (y.reshape(bsz, h, w, 4, co) + bias.astype(self.dtype))
+        y = y + jnp.tile(bias, 4).astype(self.dtype)
         if not self.interleave:
             return y
         return subpixel_interleave(y)
 
 
 def subpixel_interleave(y: jnp.ndarray) -> jnp.ndarray:
-    """[B, H, W, 4, Co] phase layout -> [B, 2H, 2W, Co] (phase (a, b) lands
-    at hi-res pixel (2i+a, 2j+b)); the depth-to-space of SubpixelUpConv."""
-    bsz, h, w, _, co = y.shape
+    """[B, H, W, 4*Co] flat phase layout (phase-major (a, b) channel blocks)
+    -> [B, 2H, 2W, Co] (phase (a, b) lands at hi-res pixel (2i+a, 2j+b));
+    the depth-to-space finish of SubpixelUpConv."""
+    bsz, h, w, c4 = y.shape
+    co = c4 // 4
     out = y.reshape(bsz, h, w, 2, 2, co)
     return out.transpose(0, 1, 3, 2, 4, 5).reshape(bsz, 2 * h, 2 * w, co)
 
