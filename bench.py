@@ -41,6 +41,8 @@ from mm_diffusion_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 import jax.numpy as jnp
 
+from mm_diffusion_tpu.ops.block_attention import _vmem_limit_mb
+
 BATCH = 8  # base-model batch (pairs)
 NFE_BASE = 20
 NFE_SR = 25
@@ -344,15 +346,15 @@ def main():
                     # cross-check.  Compare like with like across rounds.
                     "headline_derivation": "analytic: 1/(NFE_base*t_base/B + NFE_sr*t_sr)",
                     "device": str(jax.devices()[0]),
+                    # EFFECTIVE knob values (tuned defaults bake in without
+                    # env vars — VERDICT r3 #2; env overrides still show).
                     "knobs": {
-                        k: os.environ[k]
-                        for k in (
-                            "MMDIFF_SAVE_QKV",
-                            "MMDIFF_REMAT_MIN_TOKENS",
-                            "MMDIFF_VMEM_LIMIT_MB",
-                            "MMDIFF_GN_SUMS",
-                        )
-                        if k in os.environ
+                        "MMDIFF_VMEM_LIMIT_MB": _vmem_limit_mb(),
+                        "MMDIFF_SAVE_QKV": os.environ.get("MMDIFF_SAVE_QKV", "1"),
+                        "MMDIFF_REMAT_MIN_TOKENS": os.environ.get(
+                            "MMDIFF_REMAT_MIN_TOKENS", "4096"
+                        ),
+                        "MMDIFF_GN_SUMS": os.environ.get("MMDIFF_GN_SUMS", "auto"),
                     },
                 },
             }

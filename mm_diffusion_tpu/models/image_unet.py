@@ -102,7 +102,11 @@ class ImageResBlock(nn.Module):
         h = GroupNormFP32(name="norm_in", channel_sum_stats=gs)(x)
         h = jax.tree.map(nn.silu, h)
         if self.down:
-            h, x = jax.tree.map(image_downsample, h), jax.tree.map(image_downsample, x)
+            # only h pools eagerly — the skip path's pool happens as a mean
+            # in the split-pixel view of the residual add (see below), so no
+            # standalone reduce_window pass runs for x (profiled ~1 ms at
+            # the SR U-Net's 256^2 encoder level).
+            h = jax.tree.map(image_downsample, h)
         elif self.up:
             # Exact upsample+conv fusion: the 3x3 conv over the nearest-2x
             # image runs as an aligned phase conv at LOW resolution (no 4x
@@ -112,7 +116,9 @@ class ImageResBlock(nn.Module):
             # norm_out (phase_channels=4) / FiLM / SiLU — all exactly
             # phase-invariant — and the one bf16 depth-to-space happens
             # right before conv_out, where spatial layout is first needed.
-            x = jax.tree.map(image_upsample, x)
+            # x is NOT upsampled: nearest-up of the skip is a broadcast in
+            # the split-pixel view of the residual add (below), so the 4x
+            # skip intermediate never touches HBM.
             h = SubpixelUpConv(
                 self.out_ch, dtype=dt, interleave=False, name="conv_in"
             )(cat_parts(h))
@@ -155,6 +161,9 @@ class ImageResBlock(nn.Module):
         else:
             from .layers import PointwiseFromParts
 
+            # up/down blocks project at the ORIGINAL resolution — a 1x1 conv
+            # commutes exactly with both nearest-up (per-pixel) and 2x2
+            # avg-pool (linear); for up blocks that is also 4x fewer pixels.
             parts = x if isinstance(x, tuple) else (x,)
             skip = PointwiseFromParts(
                 self.out_ch,
@@ -163,6 +172,19 @@ class ImageResBlock(nn.Module):
                 dtype=dt,
                 name="skip",
             )(parts)
+        if self.up:
+            # nearest-up(skip) + h, fused: broadcast the low-res skip in the
+            # split-pixel view [B, H/2, 2, W/2, 2, C] of h — one elementwise
+            # pass, bitcast reshapes on both sides.
+            b, hh, ww, c = h.shape
+            h5 = h.reshape(b, hh // 2, 2, ww // 2, 2, c)
+            out = h5 + skip[:, :, None, :, None, :].astype(h5.dtype)
+            return out.reshape(b, hh, ww, c)
+        if self.down:
+            # avg-pool(skip) + h, fused: mean over the split-pixel view.
+            b, sh, sw, c = skip.shape
+            s5 = skip.reshape(b, sh // 2, 2, sw // 2, 2, c)
+            return s5.mean(axis=(2, 4)).astype(h.dtype) + h
         return skip + h
 
 

@@ -271,6 +271,7 @@ class SpatialConvFromParts(nn.Module):
     kernel_size: Tuple[int, ...]
     zero_init: bool = False
     dtype: Dtype = jnp.bfloat16
+    kernel_dilation: Optional[Tuple[int, ...]] = None
 
     @nn.compact
     def __call__(self, parts):
@@ -293,6 +294,7 @@ class SpatialConvFromParts(nn.Module):
             wi = jax.lax.slice_in_dim(kernel, off, off + ci, axis=nd)
             y = jax.lax.conv_general_dilated(
                 p.astype(self.dtype), wi.astype(self.dtype), (1,) * nd, "SAME",
+                rhs_dilation=self.kernel_dilation,
                 dimension_numbers=dn,
             )
             out = y if out is None else out + y
@@ -321,16 +323,34 @@ class VideoConv(nn.Module):
     @nn.compact
     def __call__(self, x):
         k = self.kernel_size
-        if isinstance(x, tuple):  # virtual-concat parts, pointwise only
-            assert k == 1 and self.conv_type == "3d"
-            return PointwiseFromParts(
-                self.features,
-                sum(p.shape[-1] for p in x),
-                lead_ones=3,
-                zero_init=self.zero_init,
-                dtype=self.dtype,
-                name="conv",
-            )(x)
+        if isinstance(x, tuple) and len(x) == 1:
+            x = x[0]
+        if isinstance(x, tuple):  # virtual-concat parts (decoder skip)
+            if k == 1 and self.conv_type == "3d":
+                return PointwiseFromParts(
+                    self.features,
+                    sum(p.shape[-1] for p in x),
+                    lead_ones=3,
+                    zero_init=self.zero_init,
+                    dtype=self.dtype,
+                    name="conv",
+                )(x)
+            if self.conv_type == "2d+1d":
+                # spatial stage per part (each part's normalize+SiLU chain
+                # input-fuses into its own conv, the concat never
+                # materializes — see SpatialConvFromParts); the temporal
+                # stage runs on the sum.
+                h = SpatialConvFromParts(
+                    self.features, (1, k, k), zero_init=self.zero_init,
+                    dtype=self.dtype, name="spatial",
+                )(x)
+                kw = dict(dtype=self.dtype, param_dtype=jnp.float32, padding="SAME")
+                if self.zero_init:
+                    kw.update(kernel_init=zeros_init, bias_init=zeros_init)
+                return nn.Conv(
+                    self.features, kernel_size=(k, 1, 1), name="temporal", **kw
+                )(h)
+            x = cat_parts(x)  # full-3d k>1: plain concat path below
         kw = dict(
             dtype=self.dtype,
             param_dtype=jnp.float32,
@@ -360,15 +380,21 @@ class AudioConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        if isinstance(x, tuple):  # virtual-concat parts, pointwise only
-            assert self.kernel_size == 1
-            return PointwiseFromParts(
-                self.features,
-                sum(p.shape[-1] for p in x),
-                lead_ones=1,
-                zero_init=self.zero_init,
-                dtype=self.dtype,
-                name="conv",
+        if isinstance(x, tuple) and len(x) == 1:
+            x = x[0]
+        if isinstance(x, tuple):  # virtual-concat parts (decoder skip)
+            if self.kernel_size == 1:
+                return PointwiseFromParts(
+                    self.features,
+                    sum(p.shape[-1] for p in x),
+                    lead_ones=1,
+                    zero_init=self.zero_init,
+                    dtype=self.dtype,
+                    name="conv",
+                )(x)
+            return SpatialConvFromParts(
+                self.features, (self.kernel_size,), zero_init=self.zero_init,
+                dtype=self.dtype, kernel_dilation=(self.dilation,), name="conv",
             )(x)
         kw = dict(dtype=self.dtype, param_dtype=jnp.float32, padding="SAME")
         if self.zero_init:

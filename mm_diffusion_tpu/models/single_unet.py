@@ -169,8 +169,11 @@ class SingleResBlock(nn.Module):
         down = video_downsample if is_video else audio_downsample
         up = video_upsample if is_video else audio_upsample
 
+        # parts stay split through SiLU into the conv (SpatialConvFromParts:
+        # the skip concat never materializes, each part's normalize+SiLU
+        # chain input-fuses into its kernel-slice conv)
         h = GroupNormFP32(name="norm_in", channel_sum_stats=gs)(x)
-        h = cat_parts(jax.tree.map(nn.silu, h))
+        h = jax.tree.map(nn.silu, h)
         h = conv(spec.out_ch, 3, "conv_in", dilation=spec.dilation)(h)
 
         defer_up = False

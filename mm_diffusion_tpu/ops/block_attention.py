@@ -53,12 +53,26 @@ def _interpret() -> bool:
 
 
 def _vmem_limit_mb() -> float:
-    """MMDIFF_VMEM_LIMIT_MB raises the per-kernel scoped-VMEM window above
-    XLA's ~16 MiB default (v5e has 128 MiB physical VMEM/core).  0 = off."""
-    try:
-        return float(os.environ.get("MMDIFF_VMEM_LIMIT_MB", "0"))
-    except ValueError:  # pragma: no cover
+    """Per-kernel scoped-VMEM window in MiB.  XLA's stock window is ~16 MiB;
+    v4/v5/v6 TPUs have 128 MiB physical VMEM per core, so the tuned default
+    on those backends is 64 MiB (r4 sweep: admits the one-shot banded
+    backward and the chunked tiny-T kernels at every stock shape — train
+    step 412.6 -> 346 ms b4; the 16 MiB window OOMs the T=16 temporal
+    backward at N=4096).  ``MMDIFF_VMEM_LIMIT_MB`` overrides; 0 = stock
+    window.  Non-TPU backends (CPU tests run interpret mode) stay on the
+    stock budgets so dispatch decisions are platform-stable."""
+    env = os.environ.get("MMDIFF_VMEM_LIMIT_MB")
+    if env is not None:
+        try:
+            return float(env)
+        except ValueError:  # pragma: no cover
+            return 0.0
+    if _interpret():
         return 0.0
+    kind = jax.devices()[0].device_kind.lower()
+    if any(g in kind for g in ("v4", "v5", "v6")):
+        return 64.0
+    return 0.0  # unknown generation: stay inside the stock window
 
 
 def _budget(default: int) -> int:
@@ -107,15 +121,17 @@ def self_attention_reference(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
 
 def _rows_per_block(n: int, t: int) -> int:
     """Batch rows so each block's attention matmul is MXU-sized: the largest
-    divisor of ``n`` with ``rows * t <= 512``.  Rows from different batch
-    elements are isolated by a block-diagonal mask, trading ``R x`` redundant
-    (masked) logits FLOPs — negligible at these sizes — for 128-wide MXU
-    tiles and ~R x fewer grid steps (per-step overhead dominates tiny-T
-    attention like the factorized temporal pass, T=16; 1024-row blocks
-    measured slower — the doubled masked FLOPs beat the saved steps)."""
+    divisor of ``n`` with ``rows * t <= cap``.  Rows from different batch
+    elements are isolated per block-diagonal CHUNK (see _chunk_rows): the
+    kernels only ever materialize [~128, ~128] logits tiles, so compute
+    scales linearly in rows and bigger blocks purely amortize grid-step DMA
+    overhead.  Tiny-T shapes (the factorized temporal pass, T=16) get a 2K
+    cap — 32x fewer grid steps than one-row blocks; larger T keeps the
+    original 512 so the qkv block stays comfortably inside VMEM."""
+    cap = 2048 if t <= 32 else 512
     best = 1
     r = 1
-    while r * t <= 512 and r <= n:
+    while r * t <= cap and r <= n:
         if n % r == 0:
             best = r
         r += 1
@@ -130,29 +146,47 @@ def _block_diag_mask(rows: int, t: int):
     return jnp.where(row_blk == col_blk, 0.0, _NEG_INF).astype(jnp.float32)
 
 
+def _chunk_rows(rows: int, t: int) -> int:
+    """Rows per block-diagonal CHUNK: queries in row r attend only keys in
+    row r, so the [RT, RT] logits tile is block-diagonal and can be computed
+    chunk-by-chunk at [cr*t, cr*t] — the off-chunk blocks (pure mask fill)
+    are never touched.  cr*t ~ 128 keeps each chunk's logits one lane tile:
+    at T=16/rows=32 this cuts the softmax's VPU work (exp over RT^2 f32) and
+    the QK/PV MXU passes 4x vs the single 512^2 tile."""
+    cr = max(1, 128 // t)
+    while rows % cr:
+        cr -= 1
+    return cr
+
+
 def _self_fwd_kernel(qkv_ref, o_ref, *, num_heads: int, head_dim: int, rows: int):
     c = num_heads * head_dim
     scale = 1.0 / math.sqrt(head_dim)
     t = qkv_ref.shape[1]
-    rt = rows * t
-    qkv = qkv_ref[...].reshape(rt, 3 * c)
-    mask = _block_diag_mask(rows, t) if rows > 1 else None
+    cr = _chunk_rows(rows, t)
+    ct = cr * t
+    qkv = qkv_ref[...].reshape(rows * t, 3 * c)
+    mask = _block_diag_mask(cr, t) if cr > 1 else None
     for h in range(num_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
-        q = qkv[:, sl]
-        k = qkv[:, c + h * head_dim : c + (h + 1) * head_dim]
-        v = qkv[:, 2 * c + h * head_dim : 2 * c + (h + 1) * head_dim]
-        logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        if mask is not None:
-            logits = logits + mask
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
-        denom = jnp.sum(p, axis=-1, keepdims=True)
-        p = (p / denom).astype(v.dtype)
-        out = jnp.dot(p, v, preferred_element_type=jnp.float32)
-        o_ref[:, :, sl] = out.astype(o_ref.dtype).reshape(rows, t, head_dim)
+        for r0 in range(0, rows, cr):
+            rsl = slice(r0 * t, r0 * t + ct)
+            q = qkv[rsl, sl]
+            k = qkv[rsl, c + h * head_dim : c + (h + 1) * head_dim]
+            v = qkv[rsl, 2 * c + h * head_dim : 2 * c + (h + 1) * head_dim]
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+            if mask is not None:
+                logits = logits + mask
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            denom = jnp.sum(p, axis=-1, keepdims=True)
+            p = (p / denom).astype(v.dtype)
+            out = jnp.dot(p, v, preferred_element_type=jnp.float32)
+            o_ref[r0 : r0 + cr, :, sl] = out.astype(o_ref.dtype).reshape(
+                cr, t, head_dim
+            )
 
 
 def _self_bwd_kernel(
@@ -161,44 +195,48 @@ def _self_bwd_kernel(
     c = num_heads * head_dim
     scale = 1.0 / math.sqrt(head_dim)
     t = qkv_ref.shape[1]
-    rt = rows * t
-    qkv = qkv_ref[...].reshape(rt, 3 * c)
-    gall = g_ref[...].reshape(rt, c)
-    mask = _block_diag_mask(rows, t) if rows > 1 else None
+    cr = _chunk_rows(rows, t)
+    ct = cr * t
+    qkv = qkv_ref[...].reshape(rows * t, 3 * c)
+    gall = g_ref[...].reshape(rows * t, c)
+    mask = _block_diag_mask(cr, t) if cr > 1 else None
     for h in range(num_heads):
         sl_q = slice(h * head_dim, (h + 1) * head_dim)
         sl_k = slice(c + h * head_dim, c + (h + 1) * head_dim)
         sl_v = slice(2 * c + h * head_dim, 2 * c + (h + 1) * head_dim)
-        q = qkv[:, sl_q]
-        k = qkv[:, sl_k]
-        v = qkv[:, sl_v]
-        g = gall[:, sl_q]
-        logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        if mask is not None:
-            logits = logits + mask
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)  # [RT, RT] f32
-        pb = p.astype(v.dtype)
-        # dv = p^T g
-        dv = jax.lax.dot_general(
-            pb, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        # dp = g v^T
-        dp = jax.lax.dot_general(
-            g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dsb = (ds * scale).astype(q.dtype)
-        dq = jnp.dot(dsb, k, preferred_element_type=jnp.float32)
-        dk = jax.lax.dot_general(
-            dsb, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dqkv_ref[:, :, sl_q] = dq.astype(dqkv_ref.dtype).reshape(rows, t, head_dim)
-        dqkv_ref[:, :, sl_k] = dk.astype(dqkv_ref.dtype).reshape(rows, t, head_dim)
-        dqkv_ref[:, :, sl_v] = dv.astype(dqkv_ref.dtype).reshape(rows, t, head_dim)
+        for r0 in range(0, rows, cr):
+            rsl = slice(r0 * t, r0 * t + ct)
+            q = qkv[rsl, sl_q]
+            k = qkv[rsl, sl_k]
+            v = qkv[rsl, sl_v]
+            g = gall[rsl, sl_q]
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+            if mask is not None:
+                logits = logits + mask
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)  # [CT, CT] f32
+            pb = p.astype(v.dtype)
+            # dv = p^T g
+            dv = jax.lax.dot_general(
+                pb, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            # dp = g v^T
+            dp = jax.lax.dot_general(
+                g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            dsb = (ds * scale).astype(q.dtype)
+            dq = jnp.dot(dsb, k, preferred_element_type=jnp.float32)
+            dk = jax.lax.dot_general(
+                dsb, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            out_r = slice(r0, r0 + cr)
+            dqkv_ref[out_r, :, sl_q] = dq.astype(dqkv_ref.dtype).reshape(cr, t, head_dim)
+            dqkv_ref[out_r, :, sl_k] = dk.astype(dqkv_ref.dtype).reshape(cr, t, head_dim)
+            dqkv_ref[out_r, :, sl_v] = dv.astype(dqkv_ref.dtype).reshape(cr, t, head_dim)
 
 
 def _self_attention_pallas(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
@@ -350,7 +388,8 @@ def self_attention_bwd_fits(n: int, t: int, c: int, num_heads: int) -> bool:
     at 19.5 MB scoped VMEM — caught on a real-chip train-step compile)."""
     rows = _rows_per_block(n, t)
     rt = rows * t
-    tiles = 4.5 * rt * rt * 4
+    ct = _chunk_rows(rows, t) * t  # live logits tiles are per-chunk
+    tiles = 4.5 * ct * ct * 4
     blocks = (3 + 1 + 3) * rt * c * 2  # qkv + g + dqkv
     return (tiles + blocks) < _budget(12_500_000)
 
@@ -394,7 +433,8 @@ def self_attention_fits(
         return False
     rows = _rows_per_block(n, t)
     block = 4 * rows * t * c * dtype_bytes  # qkv + out
-    logits = (rows * t) ** 2 * 4 * 2  # logits + p, f32
+    ct = _chunk_rows(rows, t) * t  # live logits tiles are per-chunk
+    logits = ct * ct * 4 * 2  # logits + p, f32
     # 16 MB scoped VMEM minus in/out double-buffering headroom; the stock
     # configs' largest case (T=1024, C=256 -> 10.4 MB) compiles with room to
     # spare, and rejecting it silently routed the hottest attention through

@@ -104,6 +104,13 @@ def profile_fn(tag, fn, args, n_iters=3):
         # strip the jit(fn)/Model/ prefix noise
         model_op = model_op.split("jit(fn)/")[-1][:90]
         print(f"{ms/n_iters:9.3f} ms  x{n:5d}  {name[:40]:42s} {model_op}")
+    flt = os.environ.get("PROF_FILTER")
+    if flt:
+        print(f"\n===== {tag}: ops matching {flt!r} =====")
+        for name, ms, n in top_ops(tmp, top_n=100000):
+            if flt in name:
+                model_op = names.get(name, "").split("jit(fn)/")[-1][:90]
+                print(f"{ms/n_iters:9.3f} ms  x{n:5d}  {name[:40]:42s} {model_op}")
 
 
 def build_base():
