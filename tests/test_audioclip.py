@@ -14,6 +14,7 @@ import numpy as np
 import pytest
 
 from mm_diffusion_tpu.evaluation.audioclip import (
+
     ESResNeXtFBSP,
     N_FFT,
     adaptive_max_pool,
@@ -164,3 +165,6 @@ def test_converter_roundtrip_structure():
         jax.tree.map(jnp.asarray, converted), jnp.ones((1, 1, 70560)) * 0.01
     )
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), rtol=1e-5)
+
+# heavy compiles: slow tier (run with `pytest -m slow` or no -m filter)
+pytestmark = pytest.mark.slow

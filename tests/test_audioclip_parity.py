@@ -22,6 +22,7 @@ pytest.importorskip("scipy")
 import jax  # noqa: E402
 
 from mm_diffusion_tpu.evaluation.audioclip import (  # noqa: E402
+
     ESResNeXtFBSP,
     convert_audioclip_audio_tower,
 )
@@ -130,3 +131,6 @@ def test_audio_tower_channel_sum():
     # fc(2x) - fc(x) = W x  => e_stereo - e_mono = e_mono - bias
     bias = np.asarray(variables["params"]["fc"]["bias"])
     np.testing.assert_allclose(e_stereo - e_mono, e_mono - bias, atol=1e-4)
+
+# heavy compiles: slow tier (run with `pytest -m slow` or no -m filter)
+pytestmark = pytest.mark.slow

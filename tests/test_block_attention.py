@@ -49,8 +49,11 @@ def test_self_attention_grad_parity():
 @pytest.mark.parametrize(
     "f,tq,tk,lw,heads,d,shift",
     [
-        (16, 64, 25, 8, 8, 64, 3),  # ds8 video-side
-        (16, 25, 64, 8, 8, 64, 5),  # ds8 audio-side (ragged q)
+        # the two ds8 cases are the heaviest interpret-mode compiles (~40 s
+        # each on 1 CPU) — slow tier; the remaining three keep lw<F, lw==F
+        # and lw==1 coverage in the fast tier
+        pytest.param(16, 64, 25, 8, 8, 64, 3, marks=pytest.mark.slow),  # ds8 video-side
+        pytest.param(16, 25, 64, 8, 8, 64, 5, marks=pytest.mark.slow),  # ds8 audio-side (ragged q)
         (8, 32, 16, 4, 4, 96, 0),
         (16, 16, 8, 16, 2, 64, 0),  # middle: lw == F, no shift
         (16, 48, 12, 1, 4, 64, 7),  # lw=1 (ds2)
@@ -232,6 +235,7 @@ def test_self_attention_chunked_bwd_parity():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_banded_bwd_lw1_kernel_parity():
     """The lw==1 banded backward kernel (bijective frame scatter) must match
     the reference VJP, including the packed-lane zero routing."""
@@ -256,7 +260,11 @@ def test_banded_bwd_lw1_kernel_parity():
         assert float(jnp.abs(dkv_src[..., :c]).sum()) == 0.0
 
 
-@pytest.mark.parametrize("lw,shift,f", [(2, 0, 4), (3, 1, 4), (4, 2, 4), (4, 3, 8)])
+@pytest.mark.parametrize(
+    "lw,shift,f",
+    [(2, 0, 4), (3, 1, 4), (4, 2, 4),
+     pytest.param(4, 3, 8, marks=pytest.mark.slow)],
+)
 def test_banded_bwd_oneshot_kernel_parity(lw, shift, f):
     """The lw>1 one-shot banded backward (lw dkv partials through modular
     index_maps, summed) must match the reference VJP, including the

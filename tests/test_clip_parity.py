@@ -17,6 +17,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from mm_diffusion_tpu.evaluation.clip_model import (  # noqa: E402
+
     AudioCLIPScorer,
     CLIPTextEncoder,
     CLIPVisualResNet,
@@ -131,3 +132,6 @@ def test_av_scorer_shapes():
     np.testing.assert_allclose(
         scores, 50.0 * np.sum(a_hat * norm_v, axis=-1), rtol=1e-4, atol=1e-5
     )
+
+# heavy compiles: slow tier (run with `pytest -m slow` or no -m filter)
+pytestmark = pytest.mark.slow

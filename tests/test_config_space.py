@@ -10,6 +10,7 @@ import pytest
 from mm_diffusion_tpu.configs import create_model_config
 from mm_diffusion_tpu.models.mm_unet import MultimodalUNet
 
+
 CONFIGS = {
     "learn_sigma_no_filmnorm": dict(
         learn_sigma=True, use_scale_shift_norm=False, cross_attention_shift=False
@@ -83,3 +84,6 @@ def test_num_head_channels_variant():
     plan = build_plan(cfg)
     xs = [s for specs in plan.encoder for s in specs if isinstance(s, CrossAttnSpec)]
     assert xs and all(s.heads == s.ch // 32 for s in xs)
+
+# heavy compiles: slow tier (run with `pytest -m slow` or no -m filter)
+pytestmark = pytest.mark.slow

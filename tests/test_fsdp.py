@@ -18,6 +18,7 @@ from mm_diffusion_tpu.parallel import is_fsdp_sharded, make_mesh
 from mm_diffusion_tpu.train.loop import TrainLoop
 
 
+
 def _tiny_cfg():
     return create_model_config(
         video_size="4,3,16,16",
@@ -104,3 +105,6 @@ def test_driver_dryrun_contract():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+# heavy compiles: slow tier (run with `pytest -m slow` or no -m filter)
+pytestmark = pytest.mark.slow

@@ -146,3 +146,8 @@ def test_image_unet_remat_grads_match_no_remat(monkeypatch):
     flat1 = jax.tree_util.tree_leaves(g1)
     for a, b in zip(flat0, flat1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5)
+
+import pytest  # noqa: E402
+
+# heavy compiles: slow tier (run with `pytest -m slow` or no -m filter)
+pytestmark = pytest.mark.slow

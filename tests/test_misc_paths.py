@@ -13,6 +13,7 @@ from mm_diffusion_tpu.models.mm_unet import MultimodalUNet
 from mm_diffusion_tpu.samplers import NoiseScheduleVP, wrap_model
 
 
+
 def test_remat_forward_and_grad():
     """use_checkpoint=True must produce identical outputs and valid grads
     (the reference's CheckpointFunction path, nn.py:233-279)."""
@@ -188,3 +189,6 @@ def test_compile_cache_purges_on_host_signature_mismatch(tmp_path):
     cache.enable_compilation_cache(d)
     assert not stale.exists()
     assert sig.read_text() == cache._cpu_flags()
+
+# heavy compiles: slow tier (run with `pytest -m slow` or no -m filter)
+pytestmark = pytest.mark.slow

@@ -82,6 +82,7 @@ def test_window_indices_wraparound():
     np.testing.assert_array_equal(idx[3], [2, 3])
 
 
+@pytest.mark.slow
 def test_forward_shapes_and_dtypes():
     cfg = tiny_config()
     model = MultimodalUNet(cfg)
@@ -105,6 +106,7 @@ def test_forward_shapes_and_dtypes():
     assert v_out.dtype == jnp.float32
 
 
+@pytest.mark.slow
 def test_zero_init_heads_give_zero_output():
     """Output convs are zero-initialized, so a fresh model predicts ~0
     (parity with the reference's zero_module head, multimodal_unet.py:1003-1012)."""
@@ -142,6 +144,7 @@ def test_learn_sigma_output_channels():
     assert v_out.shape[-1] == 6 and a_out.shape[-1] == 2
 
 
+@pytest.mark.slow
 def test_forward_jits_and_is_deterministic_without_shift_rng():
     cfg = tiny_config(cross_attention_shift=False)
     model = MultimodalUNet(cfg)
@@ -161,6 +164,7 @@ def test_forward_jits_and_is_deterministic_without_shift_rng():
     np.testing.assert_allclose(np.asarray(o1[0]), np.asarray(o2[0]))
 
 
+@pytest.mark.slow
 def test_train_and_eval_paths_agree_without_dropout():
     """The eval-only graph rewrites (deferred up-block upsample, stock-GN
     formulation) and the train-only ones (channel-sum GN under remat, saved

@@ -12,6 +12,7 @@ import pytest
 
 from mm_diffusion_tpu.diffusion import GaussianDiffusion, make_schedule, tree_randn_like
 from mm_diffusion_tpu.samplers import (
+
     DPMSolver,
     NoiseScheduleVP,
     conditional_p_sample_loop,
@@ -371,3 +372,6 @@ def test_dpm_solver_runs_on_continuous_schedule(setup):
     )(x)
     for leaf in jax.tree_util.tree_leaves(out):
         assert np.isfinite(np.asarray(leaf)).all()
+
+# heavy compiles: slow tier (run with `pytest -m slow` or no -m filter)
+pytestmark = pytest.mark.slow

@@ -14,6 +14,7 @@ from mm_diffusion_tpu.configs import (
 from mm_diffusion_tpu.models.image_unet import ImageSuperResModel
 from mm_diffusion_tpu.models.mm_unet import MultimodalUNet
 from mm_diffusion_tpu.sampling import (
+
     build_base_sampler,
     build_conditional_sampler,
     build_sr_sampler,
@@ -127,3 +128,6 @@ def test_conditional_sampler_builders(base_env, cond_key, scale):
     assert out["audio"].shape == (1, 128, 1)
     for k in out:
         assert np.all(np.isfinite(np.asarray(out[k])))
+
+# heavy compiles: slow tier (run with `pytest -m slow` or no -m filter)
+pytestmark = pytest.mark.slow

@@ -11,6 +11,7 @@ import os
 import numpy as np
 import pytest
 
+
 TINY_MM = [
     "--video_size", "2,3,8,8",
     "--audio_size", "1,128",
@@ -265,3 +266,6 @@ def test_multimodal_sample_sr_cli_data_sharded(tmp_path):
     for a, b in zip(s_wavs, p_wavs):
         with open(a, "rb") as fa, open(b, "rb") as fb:
             assert fa.read() == fb.read(), f"{a} != {b}"
+
+# heavy compiles: slow tier (run with `pytest -m slow` or no -m filter)
+pytestmark = pytest.mark.slow

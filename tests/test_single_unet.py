@@ -19,6 +19,7 @@ from mm_diffusion_tpu.configs import create_gaussian_diffusion
 from mm_diffusion_tpu.models.single_unet import SingleModalUNet, SingleUNetConfig
 
 
+
 VIDEO_CFG = SingleUNetConfig(
     modality="video",
     video_size=(2, 3, 8, 8),
@@ -155,3 +156,6 @@ def test_single_modal_train_cli(tmp_path):
     prog = (tmp_path / "progress.jsonl").read_text().strip().splitlines()
     rec = json.loads(prog[-1])
     assert "loss" in rec and np.isfinite(rec["loss"])
+
+# heavy compiles: slow tier (run with `pytest -m slow` or no -m filter)
+pytestmark = pytest.mark.slow

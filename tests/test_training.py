@@ -87,6 +87,7 @@ def test_train_step_runs_and_loss_decreases(env):
     assert not np.allclose(np.asarray(pe), np.asarray(pn))
 
 
+@pytest.mark.slow
 def test_train_step_on_8_device_mesh(env):
     model, diffusion, tx, params, step = env
     mesh = make_mesh()
@@ -105,6 +106,7 @@ def test_train_step_on_8_device_mesh(env):
     )
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(env, tmp_path):
     model, diffusion, tx, params, step = env
     state = create_train_state(params, tx, num_timesteps=100)
@@ -139,6 +141,7 @@ def test_loss_aware_sampler_update_and_weights():
     assert t_s.shape == (64,) and wts.shape == (64,)
 
 
+@pytest.mark.slow
 def test_trainloop_smoke(env, tmp_path):
     """One-save end-to-end loop (the reference's DIFFUSION_TRAINING_TEST
     escape hatch, multimodal_train_util.py:258-259, as a real test)."""
@@ -161,6 +164,7 @@ def test_trainloop_smoke(env, tmp_path):
     assert ckpt_lib.latest_checkpoint_step(str(tmp_path / "checkpoints")) == 3
 
 
+@pytest.mark.slow
 def test_preview_sampling_sharded_over_mesh(env, tmp_path):
     """Preview sampling shards over the mesh when the preview batch divides
     it (train/loop.py sample_preview out_shardings) — on a multi-chip mesh

@@ -203,5 +203,50 @@ def bench():
             print(f"pallas CHW (th={th}) failed: {type(e).__name__}: {str(e)[:160]}")
 
 
+def gemm():
+    """Isolate the kernel's GEMM: [Co, 9Ci] x [9Ci, px-block] per grid step,
+    RHS streamed from HBM (mirrors the conv's per-block data flow).  If this
+    alone can't approach peak, the transposed-output premise is dead on
+    Mosaic regardless of the im2col engineering."""
+    print("backend:", jax.default_backend(), jax.devices()[0])
+    co, k = 192, 9 * 192
+    for npx_blk, nblk in ((4096, 256), (2048, 512), (8192, 128)):
+        a = jax.random.normal(jax.random.PRNGKey(0), (co, k), jnp.bfloat16)
+        b = jax.random.normal(jax.random.PRNGKey(1), (nblk, k, npx_blk), jnp.bfloat16)
+
+        def kern(a_ref, b_ref, o_ref):
+            o_ref[0] = jax.lax.dot_general(
+                a_ref[...], b_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(o_ref.dtype)
+
+        fn = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((nblk, co, npx_blk), jnp.bfloat16),
+            grid=(nblk,),
+            in_specs=[
+                pl.BlockSpec((co, k), lambda i: (0, 0)),
+                pl.BlockSpec((1, k, npx_blk), lambda i: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, co, npx_blk), lambda i: (i, 0, 0)),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        )
+        flops = 2 * co * k * npx_blk * nblk
+
+        compiled = jax.jit(lambda b, a=a, fn=fn: jnp.mean(fn(a, b)))
+        _ = jax.device_get(compiled(b))
+        t0 = time.perf_counter()
+        n_outer = 3
+        for _ in range(n_outer):
+            _ = jax.device_get(compiled(b))
+        ms = (time.perf_counter() - t0) / n_outer * 1e3
+        print(
+            f"gemm [192x1728]x[1728x{npx_blk}] x{nblk}: {ms:7.3f} ms "
+            f"({flops/ms/1e9:.0f} GF/s, {flops/ms/1e9/197e3*100:.0f}% peak)",
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
-    (check if (len(sys.argv) > 1 and sys.argv[1] == "check") else bench)()
+    mode = sys.argv[1] if len(sys.argv) > 1 else "bench"
+    {"check": check, "bench": bench, "gemm": gemm}[mode]()
