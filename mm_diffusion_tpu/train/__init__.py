@@ -11,6 +11,7 @@ from .state import (
     quartile_metrics,
 )
 from .loop import TrainLoop, parse_ema_rates
+from .optimization import SCHEDULES, bert_adam
 from . import checkpoint
 
 __all__ = [
@@ -23,6 +24,8 @@ __all__ = [
     "make_train_step",
     "quartile_metrics",
     "TrainLoop",
+    "SCHEDULES",
+    "bert_adam",
     "parse_ema_rates",
     "checkpoint",
 ]
