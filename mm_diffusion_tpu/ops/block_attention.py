@@ -126,9 +126,12 @@ def _rows_per_block(n: int, t: int) -> int:
     kernels only ever materialize [~128, ~128] logits tiles, so compute
     scales linearly in rows and bigger blocks purely amortize grid-step DMA
     overhead.  Tiny-T shapes (the factorized temporal pass, T=16) get a 2K
-    cap — 32x fewer grid steps than one-row blocks; larger T keeps the
-    original 512 so the qkv block stays comfortably inside VMEM."""
-    cap = 2048 if t <= 32 else 512
+    cap — 32x fewer grid steps than one-row blocks.  Under a raised scoped-
+    VMEM window (the v4/v5/v6 default, see _vmem_limit_mb) larger T gets the
+    2K cap too — e.g. the T=1024 spatial pass drops from one-row blocks (128
+    grid steps at b8x16f) to rows=2 — while the stock 16 MiB window keeps
+    the original 512 so blocks stay comfortably inside it."""
+    cap = 2048 if (t <= 32 or _vmem_limit_mb() >= 32) else 512
     best = 1
     r = 1
     while r * t <= cap and r <= n:
