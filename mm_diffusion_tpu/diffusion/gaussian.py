@@ -540,3 +540,51 @@ class GaussianDiffusion(struct.PyTreeNode):
             qt_mean,
             qt_log_var,
         )
+
+    def calc_bpd_loop(
+        self,
+        model_fn: ModelFn,
+        x_start: PyTree,
+        rng: jax.Array,
+        clip_denoised: bool = True,
+    ):
+        """Full-chain variational lower bound in bits/dim, per batch element
+        (parity: multimodal_gaussian_diffusion.py:1231-1285 and
+        gaussian_diffusion.py:953; the reference's Python loop over timesteps
+        becomes one ``lax.scan``).
+
+        Returns per-leaf pytrees: ``total_bpd``/``prior_bpd`` of shape ``[B]``
+        and ``vb``/``xstart_mse``/``mse`` of shape ``[B, T]`` with column 0
+        corresponding to ``t = T-1`` (the reference iterates t descending and
+        stacks in that order).
+        """
+        leaves = jax.tree_util.tree_leaves(x_start)
+        b = leaves[0].shape[0]
+        num_t = self.num_timesteps
+        ts = jnp.arange(num_t - 1, -1, -1, dtype=jnp.int32)
+        keys = jax.random.split(rng, num_t)
+
+        def body(_, inp):
+            t_scalar, key = inp
+            t = jnp.full((b,), t_scalar, dtype=jnp.int32)
+            noise = tree_randn_like(key, x_start)
+            x_t = self.q_sample(x_start, t, noise)
+            out = self.vb_terms_bpd(model_fn, x_start, x_t, t, clip_denoised)
+            xstart_mse = jax.tree.map(
+                lambda xs, px: mean_flat((px - xs) ** 2), x_start, out["pred_xstart"]
+            )
+            eps = self.predict_eps_from_xstart(x_t, t, out["pred_xstart"])
+            mse = jax.tree.map(lambda e, n: mean_flat((e - n) ** 2), eps, noise)
+            return None, {"vb": out["output"], "xstart_mse": xstart_mse, "mse": mse}
+
+        _, seq = jax.lax.scan(body, None, (ts, keys))
+        seq = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), seq)  # [T,B] -> [B,T]
+        prior = self.prior_bpd(x_start)
+        total = jax.tree.map(lambda v, p: v.sum(axis=1) + p, seq["vb"], prior)
+        return {
+            "total_bpd": total,
+            "prior_bpd": prior,
+            "vb": seq["vb"],
+            "xstart_mse": seq["xstart_mse"],
+            "mse": seq["mse"],
+        }

@@ -188,3 +188,58 @@ def test_prior_bpd_small(diff):
     prior = diff.prior_bpd(x0)
     for key in ("video", "audio"):
         assert float(jnp.max(prior[key])) < 1.0
+
+
+def test_calc_bpd_loop_matches_per_step_terms():
+    """The scanned full-chain NLL equals a hand loop over vb_terms_bpd with
+    the same per-step keys (parity target:
+    multimodal_gaussian_diffusion.py:1231-1285)."""
+    num_t = 8
+    diff = GaussianDiffusion(tables=make_schedule("cosine", num_t))
+    x0 = jax.tree.map(lambda a: jnp.clip(a, -0.9, 0.9), mm_state(b=2, f=2, h=4, w=4, l=16))
+    eps_model = tree_randn_like(jax.random.PRNGKey(11), x0)
+    model_fn = lambda x, tm: eps_model
+
+    rng = jax.random.PRNGKey(12)
+    out = diff.calc_bpd_loop(model_fn, x0, rng)
+
+    keys = jax.random.split(rng, num_t)
+    b = 2
+    for col, (t_scalar, key) in enumerate(zip(range(num_t - 1, -1, -1), keys)):
+        t = jnp.full((b,), t_scalar, dtype=jnp.int32)
+        noise = tree_randn_like(key, x0)
+        xt = diff.q_sample(x0, t, noise)
+        ref = diff.vb_terms_bpd(model_fn, x0, xt, t)
+        for mod in ("video", "audio"):
+            np.testing.assert_allclose(
+                np.asarray(out["vb"][mod][:, col]),
+                np.asarray(ref["output"][mod]),
+                rtol=1e-4,
+                atol=1e-5,
+            )
+            eps_hat = diff.predict_eps_from_xstart(xt, t, ref["pred_xstart"])
+            expect_mse = jnp.mean(
+                (eps_hat[mod] - noise[mod]) ** 2, axis=tuple(range(1, noise[mod].ndim))
+            )
+            np.testing.assert_allclose(
+                np.asarray(out["mse"][mod][:, col]), np.asarray(expect_mse), rtol=1e-4, atol=1e-5
+            )
+    # total = sum of vb columns + prior, per modality
+    for mod in ("video", "audio"):
+        np.testing.assert_allclose(
+            np.asarray(out["total_bpd"][mod]),
+            np.asarray(out["vb"][mod].sum(axis=1) + out["prior_bpd"][mod]),
+            rtol=1e-5,
+        )
+        assert out["vb"][mod].shape == (2, num_t)
+        assert np.all(np.isfinite(np.asarray(out["total_bpd"][mod])))
+
+
+def test_calc_bpd_loop_single_tensor():
+    """Single-tensor states go through the same scan (gaussian_diffusion.py:953)."""
+    diff = GaussianDiffusion(tables=make_schedule("cosine", 4))
+    x0 = jnp.clip(jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 3)), -0.9, 0.9)
+    out = diff.calc_bpd_loop(lambda x, tm: jnp.zeros_like(x), x0, jax.random.PRNGKey(1))
+    assert out["vb"].shape == (2, 4)
+    assert out["total_bpd"].shape == (2,)
+    assert np.all(np.isfinite(np.asarray(out["total_bpd"])))
