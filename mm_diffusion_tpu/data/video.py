@@ -193,18 +193,37 @@ def build_clip_index(
     files: List[str], clip_frames: int, video_fps: float, cache_path: Optional[str]
 ) -> List[Tuple[int, int]]:
     """Enumerate (file_idx, start_resampled_frame) dense clips; JSON-cached
-    (parity with the VideoClips pickle cache, multimodal_datasets.py:53-79)."""
+    (parity with the VideoClips pickle cache, multimodal_datasets.py:53-79).
+
+    Multi-host safe: N processes sharing a filesystem may build the cache
+    concurrently (the reference serializes this with an MPI barrier,
+    multimodal_datasets.py:53-60; a jax mesh has no host barrier at data-
+    loader construction time).  The write is tmp-file + atomic ``os.replace``
+    so a reader can never observe a half-written file, and a corrupt or
+    stale cache falls back to a rebuild instead of crashing the process.
+    """
     meta = None
     if cache_path and os.path.exists(cache_path):
-        with open(cache_path) as f:
-            cached = json.load(f)
-        if cached.get("files") == files:
-            meta = cached["meta"]
+        try:
+            with open(cache_path) as f:
+                cached = json.load(f)
+            if cached.get("files") == files:
+                meta = cached["meta"]
+        except (json.JSONDecodeError, OSError, KeyError, TypeError):
+            meta = None  # partial/corrupt cache: rebuild below
     if meta is None:
         meta = [probe_video(p) for p in files]
         if cache_path:
-            with open(cache_path, "w") as f:
-                json.dump({"files": files, "meta": meta}, f)
+            tmp = f"{cache_path}.tmp.{os.getpid()}"
+            try:
+                with open(tmp, "w") as f:
+                    json.dump({"files": files, "meta": meta}, f)
+                os.replace(tmp, cache_path)
+            except OSError:  # read-only dir etc.: the index still works
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
     clips = []
     for i, m in enumerate(meta):
         total_resampled = int(m["frames"] * video_fps / m["fps"])
@@ -466,9 +485,15 @@ def load_data(
     while True:
         items = []
         while len(items) < batch_size:
+            # Check worker deaths BEFORE blocking: with >1 worker, survivors
+            # keep the queue non-empty, so an empty-queue-only check would
+            # mask a dead worker forever — its shard of the data silently
+            # disappears from training (the exact failure mode the hard
+            # no-audio-source error exists to prevent).
+            if not errors.empty():
+                raise errors.get()
             try:
                 items.append(item_q.get(timeout=1.0))
             except queue.Empty:
-                if not errors.empty():
-                    raise errors.get()
+                pass
         yield collate(items)

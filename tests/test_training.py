@@ -164,6 +164,36 @@ def test_trainloop_smoke(env, tmp_path):
     assert ckpt_lib.latest_checkpoint_step(str(tmp_path / "checkpoints")) == 3
 
 
+def test_trainloop_loader_death_surfaces(env, tmp_path):
+    """A data iterator dying mid-training (decoder crash, missing audio
+    source) must abort run_loop with the original error — the prefetch
+    thread is daemonized, so a swallowed exception would otherwise hang the
+    loop forever on an empty queue (VERDICT r4 #6 loader-death coverage)."""
+    model, diffusion, tx, params, step = env
+
+    def dying_data():
+        gen = load_synthetic_data(8, video_size=VIDEO_SIZE, audio_size=AUDIO_SIZE)
+        yield next(gen)
+        raise IOError("no audio source for clip_7.mp4")
+
+    loop = TrainLoop(
+        model=model,
+        diffusion=diffusion,
+        data=dying_data(),
+        batch_size=8,
+        lr=1e-4,
+        log_interval=2,
+        save_interval=1000,
+        output_dir=str(tmp_path),
+        save_preview=False,
+        init_params=jax.tree.map(jnp.copy, params),
+    )
+    with pytest.raises(IOError, match="no audio source"):
+        loop.run_loop(max_steps=5)
+    # the one good batch still trained before the loader died
+    assert int(jax.device_get(loop.state.step)) >= 1
+
+
 @pytest.mark.slow
 def test_preview_sampling_sharded_over_mesh(env, tmp_path):
     """Preview sampling shards over the mesh when the preview batch divides

@@ -127,6 +127,92 @@ def test_load_data_batches(video_dir):
     assert float(np.abs(batch["audio"]).max()) > 0.05
 
 
+def test_index_cache_corruption_tolerant(video_dir, tmp_path):
+    """A half-written or garbage cache (another process died mid-write on a
+    shared filesystem) must trigger a rebuild, never a crash."""
+    files = list_video_files(video_dir)
+    good = build_clip_index(files, clip_frames=8, video_fps=10, cache_path=None)
+    for payload in ('{"files": [', "not json at all", '{"meta": 3}'):
+        cache = str(tmp_path / "broken.json")
+        with open(cache, "w") as f:
+            f.write(payload)
+        clips = build_clip_index(files, clip_frames=8, video_fps=10, cache_path=cache)
+        assert clips == good
+        with open(cache) as f:  # repaired: now valid and reusable
+            assert json.load(f)["files"] == files
+
+
+def test_index_cache_concurrent_build(video_dir, tmp_path):
+    """N processes building the same cache concurrently (multi-host startup
+    has no barrier) must all get identical indices and leave a valid cache —
+    the tmp-file + os.replace write means no reader ever sees a torn file."""
+    import multiprocessing as mp
+
+    files = list_video_files(video_dir)
+    cache = str(tmp_path / "shared.json")
+    ctx = mp.get_context("spawn")  # fresh interpreters = real processes
+    with ctx.Pool(4) as pool:
+        results = pool.starmap(
+            build_clip_index, [(files, 8, 10, cache)] * 4
+        )
+    assert all(r == results[0] for r in results)
+    with open(cache) as f:
+        cached = json.load(f)
+    assert cached["files"] == files
+    assert results[0] == build_clip_index(files, 8, 10, cache)
+
+
+def test_shard_determinism_across_resume(video_dir):
+    """A restarted process (resume) must reconstruct the SAME shard and the
+    SAME iteration order: shards stay disjoint across the job after any
+    subset of hosts restarts (parity contract: multimodal_datasets.py:147
+    [shard::num_shards] slicing, which is construction-order deterministic)."""
+    mk = lambda shard: MultimodalVideoDataset(
+        video_dir, (8, 3, 16, 16), (1, 800), video_fps=10, audio_fps=1000,
+        shard=shard, num_shards=2, random_flip=False, seed=7,
+    )
+    a1, a2, b1 = mk(0), mk(0), mk(1)
+    assert a1.indices == a2.indices  # same shard after restart
+    assert set(a1.indices).isdisjoint(b1.indices)  # still disjoint from peers
+    it1 = a1.iter_indices(a1.indices, seed=123)
+    it2 = a2.iter_indices(a2.indices, seed=123)
+    for _ in range(2):  # same shuffle order and same decoded bytes
+        x1, x2 = next(it1), next(it2)
+        np.testing.assert_array_equal(x1["video"], x2["video"])
+        np.testing.assert_array_equal(x1["audio"], x2["audio"])
+
+
+def test_dead_worker_error_surfaces(tmp_path):
+    """A worker that hits a hard error (no audio source anywhere) must kill
+    the batch generator promptly even while OTHER workers keep producing —
+    a dead worker silently dropping its shard is the failure mode the hard
+    error exists to prevent."""
+    d = tmp_path / "mixed"
+    d.mkdir()
+    fps, n_frames, size = 10, 24, 32
+    for name, with_wav in (("good", True), ("noaudio", False)):
+        path = str(d / f"{name}.mp4")
+        writer = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (size, size)
+        )
+        assert writer.isOpened()
+        for _ in range(n_frames):
+            writer.write(np.zeros((size, size, 3), np.uint8))
+        writer.release()
+        if with_wav:
+            sr = 1000
+            tone = 0.5 * np.ones(int(n_frames / fps * sr), np.float32)
+            media.save_audio(tone, str(d / f"{name}.wav"), audio_rate=sr)
+    gen = load_data(
+        data_dir=str(d), batch_size=2, video_size=(8, 3, 16, 16),
+        audio_size=(1, 800), video_fps=10, audio_fps=1000,
+        num_workers=2, shard=0, num_shards=1,
+    )
+    with pytest.raises(IOError, match="no audio source"):
+        for _ in range(64):  # 2 files x 17 clips: poisoned item hits fast
+            next(gen)
+
+
 def test_audio_pitch_alignment(video_dir):
     """Each file has a distinct pitch; the loader must attach the right wav
     to the right video (pts-aligned window from the matching sidecar)."""
