@@ -11,6 +11,13 @@ import pytest
 
 from mm_diffusion_tpu.ops import block_attention as ba
 
+# On real TPU, fp32 dot/einsum lowers to MXU passes with bf16-granular
+# accumulation order, so kernel-vs-oracle fp32 parity sits at ~1e-4 rather
+# than the CPU's 2e-5 (measured: max abs 1.3e-4 over the suite's shapes).
+_TPU = jax.default_backend() == "tpu"
+TOL = dict(rtol=5e-4, atol=5e-4) if _TPU else dict(rtol=2e-5, atol=2e-5)
+GTOL = dict(rtol=2e-3, atol=2e-3) if _TPU else dict(rtol=2e-4, atol=2e-4)
+
 
 @pytest.mark.parametrize(
     "n,t,heads,d",
@@ -26,7 +33,7 @@ def test_self_attention_parity(n, t, heads, d):
     qkv = jax.random.normal(jax.random.PRNGKey(0), (n, t, 3 * c), jnp.float32)
     out = ba.self_attention_packed(qkv, heads)
     ref = ba.self_attention_reference(qkv, heads)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **TOL)
 
 
 def test_self_attention_grad_parity():
@@ -43,7 +50,7 @@ def test_self_attention_grad_parity():
 
     gk = jax.grad(loss_kernel)(qkv)
     gr = jax.grad(loss_ref)(qkv)
-    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), **GTOL)
 
 
 @pytest.mark.parametrize(
@@ -66,7 +73,7 @@ def test_banded_cross_attention_parity(f, tq, tk, lw, heads, d, shift):
     kv = jax.random.normal(jax.random.PRNGKey(1), (n, f, tk, 2 * c), jnp.float32)
     out = ba.banded_cross_attention(q, kv, jnp.int32(shift), lw, heads)
     ref = ba.banded_cross_attention_reference(q, kv, shift, lw, heads)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **TOL)
 
 
 def test_banded_cross_attention_traced_shift():
@@ -84,7 +91,7 @@ def test_banded_cross_attention_traced_shift():
         out = run(jnp.int32(s))
         ref = ba.banded_cross_attention_reference(q, kv, s, lw, heads)
         np.testing.assert_allclose(
-            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+            np.asarray(out), np.asarray(ref), **TOL
         )
 
 
@@ -106,7 +113,7 @@ def test_banded_cross_attention_grad():
     gk = jax.grad(loss_kernel, argnums=(0, 1))(q, kv)
     gr = jax.grad(loss_ref, argnums=(0, 1))(q, kv)
     for a, b in zip(gk, gr):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), **GTOL)
 
 
 def test_bf16_numerics_close():
@@ -135,7 +142,7 @@ def test_self_attention_batched_rows_parity(n, t):
     qkv = jax.random.normal(jax.random.PRNGKey(7), (n, t, 3 * c), jnp.float32)
     out = ba.self_attention_packed(qkv, heads)
     ref = ba.self_attention_reference(qkv, heads)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **TOL)
 
 
 def test_self_attention_batched_rows_grad():
@@ -145,7 +152,7 @@ def test_self_attention_batched_rows_grad():
     g = jax.random.normal(jax.random.PRNGKey(9), (n, t, c), jnp.float32)
     gk = jax.grad(lambda x: jnp.sum(ba.self_attention_packed(x, heads) * g))(qkv)
     gr = jax.grad(lambda x: jnp.sum(ba.self_attention_reference(x, heads) * g))(qkv)
-    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), **GTOL)
 
 
 @pytest.mark.parametrize(
@@ -161,7 +168,7 @@ def test_banded_xla_roll_path_parity(f, tq, tk, lw, shift):
         lambda s: ba.banded_cross_attention_xla(q, kv, s, lw, heads)
     )(jnp.int32(shift))
     ref = ba.banded_cross_attention_reference(q, kv, shift, lw, heads)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **TOL)
 
 
 def test_dispatchers_run_on_cpu():
@@ -178,7 +185,10 @@ def test_self_attention_bwd_fits_guard(monkeypatch):
     # The stock config's T=1024 spatial shape fits forward (12.5 MB bound)
     # but its backward tiles (~4.5 RT^2 f32) exceed VMEM — the guard must
     # split, or the real-chip train step OOMs scoped vmem (round-2 bug).
-    monkeypatch.delenv("MMDIFF_VMEM_LIMIT_MB", raising=False)
+    # Pin the STOCK 16 MiB window explicitly: the unset-env default is
+    # platform-dependent (64 MiB on real v4/v5/v6 chips, where the backward
+    # legitimately fits one-shot — the regime the last assert covers).
+    monkeypatch.setenv("MMDIFF_VMEM_LIMIT_MB", "16")
     assert ba.self_attention_fits(128, 1024, 256, 4)
     assert not ba.self_attention_bwd_fits(128, 1024, 256, 4)
     # deeper levels fit both ways
@@ -201,7 +211,7 @@ def test_banded_packed_parity(lw, shift):
     ref = ba.banded_cross_attention_reference(
         q_src[..., :c], kv_src[..., c:], shift, lw, heads
     )
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **TOL)
 
 
 def test_banded_packed_grad_flows_to_packed_lanes():
@@ -232,7 +242,7 @@ def test_self_attention_chunked_bwd_parity():
     g = jax.random.normal(jax.random.PRNGKey(12), (n, t, c), jnp.float32)
     got = ba._self_attention_bwd_chunked_pallas(qkv, g, heads, qblock=32)
     ref = jax.vjp(lambda x: ba.self_attention_reference(x, heads), qkv)[1](g)[0]
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), **GTOL)
 
 
 @pytest.mark.slow
@@ -251,11 +261,11 @@ def test_banded_bwd_lw1_kernel_parity():
         )
         dq_ref, dkv_ref = jax.vjp(ref_fn, q_src[..., :c], kv_src[..., c:])[1](g)
         np.testing.assert_allclose(
-            np.asarray(dq_src[..., :c]), np.asarray(dq_ref), rtol=2e-4, atol=2e-4
+            np.asarray(dq_src[..., :c]), np.asarray(dq_ref), **GTOL
         )
         assert float(jnp.abs(dq_src[..., c:]).sum()) == 0.0
         np.testing.assert_allclose(
-            np.asarray(dkv_src[..., c:]), np.asarray(dkv_ref), rtol=2e-4, atol=2e-4
+            np.asarray(dkv_src[..., c:]), np.asarray(dkv_ref), **GTOL
         )
         assert float(jnp.abs(dkv_src[..., :c]).sum()) == 0.0
 
@@ -282,10 +292,10 @@ def test_banded_bwd_oneshot_kernel_parity(lw, shift, f):
     )
     dq_ref, dkv_ref = jax.vjp(ref_fn, q_src[..., :c], kv_src[..., c:])[1](g)
     np.testing.assert_allclose(
-        np.asarray(dq_src[..., :c]), np.asarray(dq_ref), rtol=2e-4, atol=2e-4
+        np.asarray(dq_src[..., :c]), np.asarray(dq_ref), **GTOL
     )
     assert float(jnp.abs(dq_src[..., c:]).sum()) == 0.0
     np.testing.assert_allclose(
-        np.asarray(dkv_src[..., c:]), np.asarray(dkv_ref), rtol=2e-4, atol=2e-4
+        np.asarray(dkv_src[..., c:]), np.asarray(dkv_ref), **GTOL
     )
     assert float(jnp.abs(dkv_src[..., :c]).sum()) == 0.0
