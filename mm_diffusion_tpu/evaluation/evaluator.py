@@ -29,8 +29,20 @@ BATCH_SIZE = 8
 
 
 def _dir_loader(path: str, batch_size: int = BATCH_SIZE) -> Iterator[Dict[str, np.ndarray]]:
-    """Stream AV pairs from a directory at the eval protocol resolution
-    (parity: load_multimodal_for_worker, evaluator.py:39-57)."""
+    """Stream AV pairs from a sample directory OR an ``.npz`` batch file at
+    the eval protocol resolution (parity: load_multimodal_for_worker,
+    evaluator.py:39-57; npz batch contract: evaluations/evaluator.py:27-60,
+    extended to AV in evaluation/npz_batch.py)."""
+    from .npz_batch import is_npz_batch, npz_av_loader
+
+    if is_npz_batch(path):
+        return npz_av_loader(
+            path,
+            batch_size=batch_size,
+            video_size=tuple(VIDEO_SIZE),
+            audio_size=tuple(AUDIO_SIZE),
+            audio_fps=AUDIO_RATE,
+        )
     return load_data(
         data_dir=path,
         batch_size=batch_size,
@@ -42,6 +54,16 @@ def _dir_loader(path: str, batch_size: int = BATCH_SIZE) -> Iterator[Dict[str, n
         shard=0,
         num_shards=1,
     )
+
+
+def _sample_count(path: str) -> int:
+    """Distinct clips behind ``path`` (directory or npz batch) — drives the
+    duplication warning in :func:`eval_multimodal`."""
+    from .npz_batch import is_npz_batch, npz_batch_len
+
+    if is_npz_batch(path):
+        return npz_batch_len(path)
+    return len(list_video_files(path))
 
 
 def make_i3d_embedder(i3d_checkpoint: Optional[str] = None) -> Optional[Callable]:
@@ -150,7 +172,7 @@ def eval_multimodal(
         # The loader is an infinite generator: a directory with fewer clips
         # than eval_num silently loops over duplicates (the reference shares
         # this flaw, evaluator.py:149-160) — make the duplication loud.
-        n_files = len(list_video_files(path))
+        n_files = _sample_count(path)
         if 0 < n_files < eval_num:
             log.log(
                 f"eval WARNING: {path} holds {n_files} clips but eval_num="

@@ -67,6 +67,10 @@ def load_image_batch(path: str, limit: Optional[int] = None) -> np.ndarray:
         with np.load(path) as z:
             key = "arr_0" if "arr_0" in z else list(z.keys())[0]
             arr = z[key]
+    if arr.ndim == 5 and arr.shape[-1] == 3:
+        # AV/video batch (evaluation/npz_batch.py): evaluate all frames as
+        # an image set [N*F, H, W, 3]
+        arr = arr.reshape(-1, *arr.shape[2:])
     if arr.ndim != 4 or arr.shape[-1] != 3:
         raise ValueError(f"{path}: expected [N,H,W,3] uint8, got {arr.shape}")
     return arr[:limit].astype(np.uint8) if limit else arr.astype(np.uint8)

@@ -180,23 +180,53 @@ def main(argv=None):
 
     n_batches = (args.sample_num + args.batch_size - 1) // args.batch_size
     idx = 0
+    # --save_type npz: one OpenAI-style batch file instead of per-sample
+    # media (arr_0 uint8 video + audio + fps metadata, evaluation/npz_batch.py)
+    # — eval_multimodal and scripts/image_eval.py consume it directly.
+    npz_accum = {"video": [], "audio": [], "base": []} if args.save_type == "npz" else None
     for b in range(n_batches):
         rng, k = jax.random.split(rng)
         out = jax.device_get(pipeline(k))
-        for i in range(args.batch_size):
-            base_path = os.path.join(args.output_dir, f"sample_{idx:05d}")
-            media.save_multimodal(
-                out["sr_video"][i], out["audio"][i], base_path,
-                fps=args.video_fps, audio_rate=args.audio_fps,
-            )
-            media.save_video(out["video"][i], base_path + "_base64.mp4", fps=args.video_fps)
-            idx += 1
+        if npz_accum is not None:
+            npz_accum["video"].append(out["sr_video"])
+            npz_accum["audio"].append(out["audio"])
+            npz_accum["base"].append(out["video"])
+            idx += args.batch_size
+        else:
+            for i in range(args.batch_size):
+                base_path = os.path.join(args.output_dir, f"sample_{idx:05d}")
+                media.save_multimodal(
+                    out["sr_video"][i], out["audio"][i], base_path,
+                    fps=args.video_fps, audio_rate=args.audio_fps,
+                )
+                media.save_video(out["video"][i], base_path + "_base64.mp4", fps=args.video_fps)
+                idx += 1
         log.log(f"batch {b + 1}/{n_batches} written ({idx} samples)")
+
+    sample_path = args.output_dir
+    if npz_accum is not None:
+        import numpy as np
+
+        from ..evaluation.npz_batch import save_av_npz_batch
+
+        sample_path = save_av_npz_batch(
+            os.path.join(
+                args.output_dir, f"{args.sample_fn}_samples_{idx}.npz"
+            ),
+            np.concatenate(npz_accum["video"]),
+            np.concatenate(npz_accum["audio"]),
+            video_fps=args.video_fps,
+            audio_fps=args.audio_fps,
+            extra_arrays={
+                "video_base": np.concatenate(npz_accum["base"]).astype(np.float32)
+            },
+        )
+        log.log(f"npz batch written: {sample_path}")
 
     if args.run_eval and args.ref_path:
         from ..evaluation import eval_multimodal
 
-        metrics = eval_multimodal(args.ref_path, args.output_dir)
+        metrics = eval_multimodal(args.ref_path, sample_path)
         log.log(f"eval: {metrics}")
 
 
