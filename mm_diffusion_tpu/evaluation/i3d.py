@@ -193,13 +193,25 @@ def convert_torch_i3d(state_dict: Dict[str, Any]):
 
 
 def load_i3d(checkpoint_path: str):
-    """Load the I3D weights: either the published torch ``.pt`` (converted
-    in-process; the reference auto-downloads it, evaluations/fvd/download.py,
-    which needs egress) or a native Orbax directory produced once by
-    ``tools/convert_weights.py i3d`` (torch-free from then on)."""
+    """Load the I3D weights from any of the three published sources: the
+    torch ``.pt`` (converted in-process; the reference auto-downloads it,
+    evaluations/fvd/download.py, which needs egress), the TF-Hub module's
+    TensorBundle (``i3d-kinetics-400`` dir / ``variables.index`` — the
+    TF-source path of evaluations/fvd/convert_tf_pretrained.py, parsed
+    without TensorFlow by :mod:`.tf_bundle`), or a native Orbax directory
+    produced once by ``tools/convert_weights.py i3d|i3d_tf`` (torch- and
+    TF-free from then on)."""
     import os
 
     model = InceptionI3d()
+    from .tf_bundle import find_bundle_prefix, load_tf_i3d
+
+    try:
+        find_bundle_prefix(checkpoint_path)
+    except (FileNotFoundError, ValueError):
+        pass
+    else:
+        return model, load_tf_i3d(checkpoint_path)
     if os.path.isdir(checkpoint_path):
         from ..train.checkpoint import restore_params
 

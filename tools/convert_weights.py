@@ -13,6 +13,7 @@ pins the published files' checksums).
 
 Usage:
     python tools/convert_weights.py i3d       i3d_pretrained_400.pt   OUT_DIR
+    python tools/convert_weights.py i3d_tf    i3d-kinetics-400/       OUT_DIR
     python tools/convert_weights.py audioclip AudioCLIP-Full-Training.pt OUT_DIR
     python tools/convert_weights.py mm_unet   Landscape.pt            OUT_DIR \
         [--video_size 16,3,64,64 --audio_size 1,25600 ...model flags]
@@ -42,7 +43,15 @@ jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 
-KINDS = ("i3d", "audioclip", "audioclip_audio", "mm_unet", "image_sr", "image")
+KINDS = (
+    "i3d",
+    "i3d_tf",
+    "audioclip",
+    "audioclip_audio",
+    "mm_unet",
+    "image_sr",
+    "image",
+)
 
 
 def sha256_file(path: str, chunk: int = 1 << 20) -> str:
@@ -68,6 +77,13 @@ def _convert(kind: str, src: str, extra: list) -> tuple:
     """Returns (tree_to_save, config_record)."""
     if kind in ("mm_unet", "image_sr", "image"):
         return _convert_model(kind, src, extra)
+
+    if kind == "i3d_tf":
+        # TF-Hub i3d-kinetics module (TensorBundle), parsed without TF —
+        # replaces the reference's evaluations/fvd/convert_tf_pretrained.py.
+        from mm_diffusion_tpu.evaluation.tf_bundle import load_tf_i3d
+
+        return load_tf_i3d(src), {}
 
     import torch
 
@@ -139,8 +155,25 @@ def main(argv=None):
         return 2
     kind, src, out_dir, extra = argv[0], argv[1], argv[2], argv[3:]
 
-    src_sha = sha256_file(src)
-    print(f"source {src}\n  sha256 {src_sha}")
+    if kind == "i3d_tf":
+        # Source is a bundle (index + data shards), not one file: hash the
+        # resolved prefix's files in name order so the manifest stays
+        # reproducible and auditable per-file.
+        from mm_diffusion_tpu.evaluation.tf_bundle import find_bundle_prefix
+
+        prefix = find_bundle_prefix(src)
+        d, base = os.path.split(prefix)
+        h = hashlib.sha256()
+        for name in sorted(os.listdir(d)):
+            if name.startswith(base + "."):
+                part = sha256_file(os.path.join(d, name))
+                print(f"source {os.path.join(d, name)}\n  sha256 {part}")
+                h.update(name.encode() + b"\0" + bytes.fromhex(part))
+        src_sha = h.hexdigest()
+        print(f"  combined sha256 {src_sha}")
+    else:
+        src_sha = sha256_file(src)
+        print(f"source {src}\n  sha256 {src_sha}")
     tree, config = _convert(kind, src, extra)
 
     from mm_diffusion_tpu.train.checkpoint import save_params
