@@ -67,6 +67,7 @@ def create_argparser():
         save_interval=10000,
         output_dir="./sr_output",
         resume_checkpoint="",
+        use_db=False,
         seed=42,
         max_steps=0,
         degrade=True,  # noise+JPEG LR degradations (real_image_datasets.py:133-159)
@@ -141,6 +142,7 @@ def main(argv=None):
         seed=args.seed,
         init_params=init_params,
         task=ImageSRTask(large, small),
+        use_db=args.use_db,
     )
     loop.run_loop(max_steps=args.max_steps or None)
 

@@ -121,6 +121,7 @@ def main(argv=None):
         seed=args.seed,
         sample_fn=args.sample_fn,
         min_size_to_shard=args.fsdp_min_size,
+        use_db=args.use_db,
     )
     log.log("training...")
     loop.run_loop(max_steps=args.max_steps or None)

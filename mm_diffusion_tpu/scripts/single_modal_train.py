@@ -74,6 +74,7 @@ def create_argparser():
         save_interval=10000,
         output_dir="./output",
         resume_checkpoint="",
+        use_db=False,
         sample_fn="ddim",
         preview_steps=50,
         frame_gap=1,
@@ -198,6 +199,7 @@ def main(argv=None):
         sample_fn=args.sample_fn,
         min_size_to_shard=args.fsdp_min_size,
         task=SingleModalTask(sample_fn=args.sample_fn, preview_steps=args.preview_steps),
+        use_db=args.use_db,
     )
     log.log("training...")
     loop.run_loop(max_steps=args.max_steps or None)

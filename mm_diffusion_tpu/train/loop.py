@@ -125,6 +125,7 @@ class TrainLoop:
         init_params=None,
         min_size_to_shard: int = 2**18,
         task=None,
+        use_db: bool = False,
     ):
         # NOTE: the loop takes OWNERSHIP of init_params — the jitted train
         # step donates the state, so the caller's arrays may be deleted
@@ -143,6 +144,19 @@ class TrainLoop:
         self.save_preview = save_preview
         self.preview_samples = preview_samples
         self.last_batch = None  # host copy, for condition-dependent previews
+        if use_db and jax.process_index() == 0:
+            # project/name derive from the output dir exactly like the
+            # reference derives them from the logger dir
+            # (multimodal_train_util.py:87-94); rank-0-only, gated on the
+            # package being installed.
+            import os as _os
+
+            out_abs = _os.path.abspath(output_dir)
+            kvlogger.get_current().enable_wandb(
+                project=_os.path.basename(_os.path.dirname(out_abs))
+                or "mm_diffusion_tpu",
+                name=_os.path.basename(out_abs),
+            )
         self.mesh = mesh if mesh is not None else make_mesh()
         # attention kernels shard_map over this mesh (tpu_custom_call has no
         # GSPMD partitioning rule — without this the kernels would force an
@@ -294,5 +308,9 @@ class TrainLoop:
         """EMA-weight preview sampling + media dump, delegated to the task
         (multimodal: save_video parity, multimodal_train_util.py:348-468;
         SR: save_sr triptychs, train_util.py:566-671; single-modal video/
-        audio: save_visual/save_audio, train_util.py:399,:485)."""
-        self.task.preview(self, step)
+        audio: save_visual/save_audio, train_util.py:399,:485).  The task's
+        primary media path streams to wandb when ``use_db`` is on (parity:
+        multimodal_train_util.py:246-256)."""
+        path = self.task.preview(self, step)
+        if path:
+            kvlogger.get_current().log_media(path, step=step)

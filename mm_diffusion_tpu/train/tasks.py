@@ -72,6 +72,7 @@ class MultimodalTask:
         for i in range(vids.shape[0]):
             media.save_multimodal(vids[i], auds[i], f"{base}_{i:02d}")
         kvlogger.log(f"wrote preview samples -> {base}*")
+        return base + "_grid.mp4"
 
 
 class ImageSRTask:
@@ -144,6 +145,7 @@ class ImageSRTask:
         out_path = f"{loop.output_dir}/previews/step_{step:06d}.png"
         media.save_image(np.concatenate(rows, axis=0), out_path)
         kvlogger.log(f"wrote SR preview -> {out_path}")
+        return out_path
 
 
 class SingleModalTask:
@@ -197,7 +199,8 @@ class SingleModalTask:
         if loop.model.cfg.modality == "video":
             media.save_video_grid(out, base + "_grid.mp4")
             kvlogger.log(f"wrote video preview grid -> {base}_grid.mp4")
-        else:
-            for i in range(out.shape[0]):
-                media.save_audio(out[i], f"{base}_{i:02d}.wav")
-            kvlogger.log(f"wrote {out.shape[0]} audio previews -> {base}_*.wav")
+            return base + "_grid.mp4"
+        for i in range(out.shape[0]):
+            media.save_audio(out[i], f"{base}_{i:02d}.wav")
+        kvlogger.log(f"wrote {out.shape[0]} audio previews -> {base}_*.wav")
+        return f"{base}_00.wav"

@@ -37,6 +37,7 @@ class KVLogger:
         self._csv_keys = None
         self._tb = None
         self._tb_step = 0
+        self._wandb = None  # set by enable_wandb (gated on importability)
         if log_dir:
             os.makedirs(log_dir, exist_ok=True)
             self._jsonl = open(os.path.join(log_dir, f"progress{suffix}.jsonl"), "a")
@@ -90,6 +91,11 @@ class KVLogger:
             self._tb_step = step + 1
             for k, v in kvs.items():
                 self._tb.add_scalar(k, v, step)
+        if self._wandb is not None and kvs:
+            # parity: the reference streams scalar KVs each log interval
+            # (multimodal_train_util.py:234-240,260-261)
+            step = kvs.get("step")
+            self._wandb.log(kvs, step=None if step is None else int(step))
         self._vals.clear()
         self._sums.clear()
         self._counts.clear()
@@ -123,6 +129,44 @@ class KVLogger:
     def log(self, *args):
         if self.stdout:
             print(*args, flush=True)
+
+    # -- optional wandb dashboard streaming (reference: use_db flag, ------
+    # -- multimodal_train_util.py:85-94,234-261) --------------------------
+
+    def enable_wandb(self, project: str, name: Optional[str] = None, config=None) -> bool:
+        """Attach a wandb run as an extra sink.  Gated on importability:
+        the package is optional here, so a missing install degrades to the
+        JSONL/CSV/TensorBoard sinks with a notice instead of failing."""
+        try:
+            import wandb
+        except ImportError:
+            self.log(
+                "use_db requested but wandb is not installed — "
+                "dashboard streaming disabled (JSONL/CSV/previews still on disk)"
+            )
+            return False
+        wandb.init(project=project, name=name, config=config,
+                   job_type="training", reinit=True)
+        self._wandb = wandb
+        return True
+
+    def log_media(self, path: str, key: str = "sample", step: Optional[int] = None) -> bool:
+        """Stream a preview media file (parity: wandb.Video/Image media
+        logging at save_interval, multimodal_train_util.py:246-256).
+        No-op unless enable_wandb succeeded and the file exists."""
+        if self._wandb is None or not os.path.exists(path):
+            return False
+        lower = path.lower()
+        if lower.endswith((".gif", ".mp4")):
+            obj = self._wandb.Video(path)
+        elif lower.endswith((".jpg", ".jpeg", ".png")):
+            obj = self._wandb.Image(path)
+        elif lower.endswith(".wav"):
+            obj = self._wandb.Audio(path)
+        else:
+            return False
+        self._wandb.log({key: obj}, step=step)
+        return True
 
     @contextlib.contextmanager
     def profile_kv(self, name: str):
