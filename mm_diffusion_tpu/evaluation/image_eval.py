@@ -1,21 +1,21 @@
-"""Image-set evaluation: FID / KID / improved precision & recall.
+"""Image-set evaluation: IS / FID / sFID / KID / improved precision & recall.
 
-Substitute for the reference's TF1 npz evaluator
+Covers the reference's TF1 npz evaluator
 (`evaluations/compute_image_is.py`): same input formats (an ``.npz`` batch
-with ``arr_0`` uint8 ``[N, H, W, 3]``, or a directory of image files) and the
-same metric surface minus the TF1-graph specifics:
+with ``arr_0`` uint8 ``[N, H, W, 3]``, or a directory of image files), and
+— since r5 — the same metrics under TWO protocols:
 
-* the embedding space is the ported CLIP visual ResNet
-  (`evaluation/clip_model.py`, converted from a user-supplied AudioCLIP/CLIP
-  checkpoint) instead of the downloaded TF1 InceptionV3 pool_3 — this image
-  has no egress and no TF1, so FID here is **CLIP-FID** (Kynkaanniemi et al.
-  2022), not Inception-FID; numbers are self-consistent but NOT comparable
-  to published Inception-FID tables.  Provenance is tagged in the result.
-* Inception Score needs the Inception *classifier posterior* and has no
-  CLIP analogue — deliberately not computed (see README descope ledger);
-  `evaluation/inception_score.py` covers the video IS substitute.
-* sFID (spatial mixed_6/conv features) is likewise TF1-graph-specific and
-  descoped.
+* **Exact legacy protocol** (``inception_pb=classify_image_graph_def.pb``):
+  the frozen TF1 InceptionV3 graph itself is executed with jax ops
+  (`evaluation/graphdef.py`), reproducing the OpenAI evaluator's tensor
+  contract (`evaluator.py:120-195,586-614`): Inception-IS from the biasless
+  softmax head, Inception-FID on pool_3, sFID on mixed_6/conv[...,:7] —
+  numbers comparable to published tables.  The user downloads the ``.pb``
+  once (this environment has no egress).
+* **CLIP protocol** (``clip_checkpoint``): the ported CLIP visual ResNet
+  (`evaluation/clip_model.py`) embeds instead — **CLIP-FID** (Kynkaanniemi
+  et al. 2022), self-consistent but NOT comparable to Inception tables.
+  Inception-IS/sFID are classifier-graph-specific and not computed here.
 * precision/recall are embedding-space-generic and match the reference's
   manifold algorithm exactly (compute_image_is.py:195-351, nhood_size=3).
 
@@ -131,10 +131,21 @@ def eval_images(
     batch_size: int = 64,
     nhood_size: int = 3,
     allow_fallback: bool = True,
+    inception_pb: Optional[str] = None,
 ) -> Dict[str, float]:
     """FID / KID / precision / recall between two image sets
-    (parity surface: evaluations/compute_image_is.py:27-66)."""
+    (parity surface: evaluations/compute_image_is.py:27-66).
+
+    With ``inception_pb`` = the published ``classify_image_graph_def.pb``,
+    the EXACT legacy protocol runs instead: the frozen TF1 InceptionV3 graph
+    executes under jax (evaluation/graphdef.py), producing Inception-IS,
+    Inception-FID, and sFID comparable to published tables
+    (evaluator.py:586-614 tensor contract)."""
     log = logger.get_current()
+    if inception_pb:
+        return _eval_images_inception(
+            ref_path, sample_path, inception_pb, eval_num, batch_size, nhood_size
+        )
     embed = make_clip_image_embedder(clip_checkpoint)
     fallback = embed is None
     if fallback and not allow_fallback:
@@ -170,7 +181,52 @@ def eval_images(
         "precision": prec,
         "recall": rec,
         "image_embedder": "pixel_fallback" if fallback else "clip_visual",
-        # CLIP-FID even with the checkpoint: never the published
-        # InceptionV3 protocol (no TF1 / no egress in this environment)
+        # CLIP-FID even with the checkpoint: the published InceptionV3
+        # protocol needs the frozen graph — pass inception_pb for it
         "protocol": "fallback" if fallback else "clip",
+    }
+
+
+def _eval_images_inception(
+    ref_path: str,
+    sample_path: str,
+    inception_pb: str,
+    eval_num: Optional[int],
+    batch_size: int,
+    nhood_size: int,
+) -> Dict[str, float]:
+    """The OpenAI evaluator's exact metric suite over the frozen TF1 graph
+    (evaluations/evaluator.py:120-195): IS on the sample softmax, FID on
+    pool_3, sFID on the mixed_6/conv[...,:7] spatial head, precision/recall
+    on pool_3 — all from the published classify_image_graph_def.pb, executed
+    with jax ops (no TensorFlow)."""
+    from .graphdef import InceptionV3Features, inception_score_openai
+
+    log = logger.get_current()
+    feats = InceptionV3Features(inception_pb)
+
+    def collect(path):
+        imgs = load_image_batch(path, limit=eval_num)
+        pools, spatials = [], []
+        for i in range(0, len(imgs), batch_size):
+            p, s = feats.features(imgs[i : i + batch_size].astype(np.float32))
+            pools.append(p)
+            spatials.append(s)
+        return np.concatenate(pools), np.concatenate(spatials)
+
+    log.log(f"inception-embedding sample set: {sample_path}")
+    sample_pool, sample_spatial = collect(sample_path)
+    log.log(f"inception-embedding ref set: {ref_path}")
+    ref_pool, ref_spatial = collect(ref_path)
+    log.log(f"evaluate for {len(ref_pool)} ref / {len(sample_pool)} sample images")
+    prec, rec = precision_recall(ref_pool, sample_pool, k=nhood_size)
+    return {
+        "inception_score": inception_score_openai(feats.softmax(sample_pool)),
+        "fid": frechet_distance(sample_pool, ref_pool),
+        "sfid": frechet_distance(sample_spatial, ref_spatial),
+        "kid": polynomial_mmd(sample_pool, ref_pool),
+        "precision": prec,
+        "recall": rec,
+        "image_embedder": "inception_v3_tf1",
+        "protocol": "openai",
     }
