@@ -487,7 +487,15 @@ class SubpixelUpConv(nn.Module):
 def subpixel_interleave(y: jnp.ndarray) -> jnp.ndarray:
     """[B, H, W, 4*Co] flat phase layout (phase-major (a, b) channel blocks)
     -> [B, 2H, 2W, Co] (phase (a, b) lands at hi-res pixel (2i+a, 2j+b));
-    the depth-to-space finish of SubpixelUpConv."""
+    the depth-to-space finish of SubpixelUpConv.
+
+    Layout note (r5 A/B): the six-dim transpose below profiles as a ~1.2 ms
+    pre-copy + ~1.45 ms transpose at the SR 256^2 site, vs a ~1.5 ms
+    single-transpose standalone floor.  Re-expressing it with a contiguous
+    [2*Co] minor unit ([B,H,W,2,2Co] -> [B,H,2,W,2Co]) looked layout-free
+    on paper but LOST ~3.8 ms in-model: the surrounding reshapes merge
+    across TPU tile boundaries and materialize as two ~1.5 ms copies, and
+    the consumer conv slowed 0.9 ms (tools/bench_d2s.py + profile)."""
     bsz, h, w, c4 = y.shape
     co = c4 // 4
     out = y.reshape(bsz, h, w, 2, 2, co)

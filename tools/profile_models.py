@@ -99,7 +99,7 @@ def profile_fn(tag, fn, args, n_iters=3):
         print(f"{ms/n_iters:9.2f} ms  x{n:5d}  {cat}")
     print(f"{total/n_iters:9.2f} ms  TOTAL device time / iter")
     print(f"\n===== {tag}: top individual ops (joined to HLO op_name) =====")
-    for name, ms, n in top_ops(tmp, top_n=40):
+    for name, ms, n in top_ops(tmp, top_n=int(os.environ.get("PROF_TOPN", "40"))):
         model_op = names.get(name, "")
         # strip the jit(fn)/Model/ prefix noise
         model_op = model_op.split("jit(fn)/")[-1][:90]
