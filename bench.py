@@ -29,11 +29,13 @@ sampling.  Protocol:
 
 Wall-clock budget: ``MMDIFF_BENCH_BUDGET_S`` (default 900 s).  Optional
 probes (train step, real-data train, jitted pipeline) each carry a cold-
-compile cost estimate; a probe whose estimate exceeds the remaining budget
-is skipped with a recorded reason instead of running past the driver's
+compile cost estimate, scaled by the observed environment slowdown (see
+``_est``); a probe whose scaled estimate exceeds the remaining budget is
+skipped with a recorded reason instead of running past the driver's
 timeout.  The persistent compilation cache (per-CPU-signature,
-utils/cache.py) makes warm runs take ~2 minutes; cold compiles through the
-device tunnel cost ~3-5 minutes each.
+utils/cache.py) makes warm runs of the mandatory probes ~2 minutes; cold
+compiles through the device tunnel cost ~3-5 minutes each on a healthy
+transport and 10x that when its compile service is congested.
 
 ``vs_baseline`` is an explicit analytic estimate of the PyTorch reference on
 one A100: 312e12 FLOP/s * 0.35 utilization (generous for eager torch with
@@ -80,6 +82,24 @@ EST_PIPELINE_S = 300.0
 
 def _remaining() -> float:
     return BUDGET_S - (time.monotonic() - T_START)
+
+
+# Observed slowdown of this run's environment vs a healthy warm run.  The
+# optional probes' compiles CANNOT be served by the persistent cache (their
+# jit cache key shifts with every prior in-process tracing — measured:
+# identical train-step modules get different keys after unrelated jits run
+# first), so their cost scales with the live compile-service latency.  The
+# mandatory phase is the probe for that latency: ~90 s when executable
+# loads/compiles are healthy, 4-20x that when the remote transport is
+# congested.  Scaling the estimates by the observed factor makes a degraded
+# environment skip the optional probes with a recorded reason and rc=0
+# instead of starving the driver's timeout (VERDICT r4 weak #1).
+_EXPECTED_MANDATORY_S = 90.0
+_degrade = 1.0
+
+
+def _est(cold_s: float) -> float:
+    return cold_s * _degrade
 
 
 def fake_params(model, rngs, *args):
@@ -243,11 +263,17 @@ def main():
     print(json.dumps(result({"stage": "headline-only (optional probes pending)"})),
           flush=True)
 
+    global _degrade
+    _degrade = max(1.0, (time.monotonic() - T_START) / _EXPECTED_MANDATORY_S)
+
     # -- optional probe: training step (real config, b4, remat) -----------------
     train_ms = train_ex_per_sec = None
     train_objs = None  # shared with the real-data probe
-    if _remaining() < EST_TRAIN_S:
-        skipped["train_step"] = f"budget ({_remaining():.0f}s left < {EST_TRAIN_S:.0f}s est)"
+    if _remaining() < _est(EST_TRAIN_S):
+        skipped["train_step"] = (
+            f"budget ({_remaining():.0f}s left < {_est(EST_TRAIN_S):.0f}s est, "
+            f"degrade x{_degrade:.1f})"
+        )
     else:
         try:
             from mm_diffusion_tpu.train.state import (
@@ -306,7 +332,7 @@ def main():
                 # remat) trade HBM for step time; if a chip generation can't fit
                 # them, fall back to the conservative full-remat configuration —
                 # but only if the budget can absorb a second cold compile.
-                if _remaining() < EST_TRAIN_RETRY_S:
+                if _remaining() < _est(EST_TRAIN_RETRY_S):
                     skipped["train_step_retry"] = (
                         f"default knobs failed ({e}); budget too low for retry"
                     )
@@ -325,12 +351,13 @@ def main():
     # decode + host->device transfer into steps/s instead of assuming zero.
     # Runs right after the train probe so the step's HLO is a persistent-cache
     # hit (VERDICT r4 #5: this probe must actually run).
-    train_real_steps_per_sec = None
+    train_real_steps_per_sec = loader_batches_per_sec = h2d_mbps = None
     if train_objs is None:
         skipped["train_real_data"] = "train-step probe unavailable"
-    elif _remaining() < EST_REAL_DATA_S:
+    elif _remaining() < _est(EST_REAL_DATA_S):
         skipped["train_real_data"] = (
-            f"budget ({_remaining():.0f}s left < {EST_REAL_DATA_S:.0f}s est)"
+            f"budget ({_remaining():.0f}s left < {_est(EST_REAL_DATA_S):.0f}s est, "
+            f"degrade x{_degrade:.1f})"
         )
     else:
         try:
@@ -357,6 +384,23 @@ def main():
                 video_size=(16, 3, 64, 64), audio_size=(1, 25600),
                 video_fps=10.0, audio_fps=16000, num_workers=4, shard=0, num_shards=1,
             )
+            # Attribution sub-probes: steps/s under the real loader composes
+            # decode throughput + host->device transfer + step compute.  On
+            # a tunneled dev chip the transfer leg can dominate by 10-100x
+            # (it is PCIe-DMA on a real TPU VM), so the record carries each
+            # leg separately — a low steps/s with healthy loader_batches/s
+            # and low h2d_MBps is the transport, not the data pipeline.
+            first = next(data_it)
+            t0 = time.perf_counter()
+            for _ in range(4):
+                next(data_it)
+            loader_batches_per_sec = 4 / (time.perf_counter() - t0)
+            nbytes = sum(v.nbytes for v in first.values())
+            t0 = time.perf_counter()
+            dev_first = jax.device_put(first)
+            jax.block_until_ready(dev_first)
+            h2d_mbps = nbytes / 1e6 / (time.perf_counter() - t0)
+            del dev_first
             mesh1 = _make_mesh()
             pf = _DevicePrefetcher(data_it, mesh1)
             tstate = create_train_state(
@@ -364,7 +408,15 @@ def main():
             )
             tstep = jax.jit(make_train_step(tmodel, tdiff, ttx), donate_argnums=0)
             _, dev0 = next(pf)
-            tstate, tm = tstep(tstate, dev0, trng)  # compile/warm (cache-hot)
+            tstate, tm = tstep(tstate, dev0, trng)  # compile/warm
+            jax.block_until_ready(tm["loss"])
+            # SECOND warm step: after the first donated call the state's
+            # output shardings may differ from the plain arrays the compile
+            # saw, and the signature change triggers one more compile — it
+            # must burn here, not amortized into the timed loop (measured:
+            # an in-loop recompile read as ~30 s/step on the record).
+            _, dev1 = next(pf)
+            tstate, tm = tstep(tstate, dev1, trng)
             jax.block_until_ready(tm["loss"])
             n_real = 10
             t0 = time.perf_counter()
@@ -384,9 +436,10 @@ def main():
     # regressions show up even when raw model evals don't move.  Most
     # expensive cold compile, so it runs last.
     pipeline_pairs_per_sec = None
-    if _remaining() < EST_PIPELINE_S:
+    if _remaining() < _est(EST_PIPELINE_S):
         skipped["pipeline"] = (
-            f"budget ({_remaining():.0f}s left < {EST_PIPELINE_S:.0f}s est)"
+            f"budget ({_remaining():.0f}s left < {_est(EST_PIPELINE_S):.0f}s est, "
+            f"degrade x{_degrade:.1f})"
         )
     else:
         try:
@@ -443,6 +496,15 @@ def main():
                         if train_real_steps_per_sec
                         else None
                     ),
+                    "train_data_loader_batches_per_sec": (
+                        round(loader_batches_per_sec, 2)
+                        if loader_batches_per_sec
+                        else None
+                    ),
+                    "host_to_device_MBps": (
+                        round(h2d_mbps, 1) if h2d_mbps else None
+                    ),
+                    "tunnel_degrade_factor": round(_degrade, 2),
                     "skipped_probes": skipped or None,
                 }
             )
